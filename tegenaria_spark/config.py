@@ -1,0 +1,56 @@
+"""Engine configuration.
+
+Replaces the reference's viper YAML settings (settings.go:59-83) and the
+hard-coded component defaults (components.go:71-73) with a plain
+dataclass.  All scale knobs are parameterized so the same code runs at
+test scale (2k URLs / 20 domains) and at the 10^10-URL design point
+(bucket counts, salt width, bloom sizing all grow without code change).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # --- politeness / scheduling (reference: components.go:73 rate=16/s,
+    # distributed/distributed.go:150 rate=32/s; we express wall-clock
+    # token buckets as per-round budgets: budget = rate * round_interval).
+    default_budget_per_round: int = 16
+    round_interval_s: int = 1
+    max_redirects: int = 3          # request.go:259
+    max_retries: int = 3            # error re-enqueue cap (engine.go:269-277 path)
+    max_outlinks: int = 16
+
+    # --- dedup / bloom (reference: components.go:71 n=1M p=0.001;
+    # optimal m,k math ported from utils.go:78-87).
+    bloom_n: int = 1_048_576
+    bloom_p: float = 0.001
+    bloom_enabled: bool = True
+
+    # --- partitioning / skew (north_rule: explicit salting).
+    shuffle_partitions: int = 32
+    domain_salt_width: int = 4      # S: one hot domain spreads over S tasks
+    fp_buckets: int = 64            # url_seen / frontier hash-bucket count
+    image_buckets: int = 16         # image store bucket(image_id) count
+
+    # --- arrow batching (keeps a partition of images in executor memory)
+    arrow_max_records_per_batch: int = 1024
+
+    # --- determinism
+    epoch_ms: int = 1_700_000_000_000   # fixed base "crawl start" timestamp
+    seed: int = 42
+
+    # --- limits
+    max_inflight_per_round: int = 1_048_576   # queue capacity analog (components.go:72)
+
+    extra_spark_conf: dict = field(default_factory=dict)
+
+    @property
+    def seq_stride(self) -> int:
+        """enqueue_seq namespace per round: seq = round * stride + rank."""
+        return 10**12
+
+
+DEFAULT_CONFIG = EngineConfig()

@@ -1,0 +1,124 @@
+"""Fetch stage: vectorized ``mapInPandas`` over the salted selection.
+
+Mirrors the reference downloader (/root/reference/downloader.go:247-329):
+per-request headers/cookies/proxy/timeout, redirect chain capped at
+``MaxRedirects`` (downloader.go:136-146), and the status allow-check
+(downloader.go:236-244) applied afterwards as a plain column filter.
+
+In production the body of ``_fetch_batch`` is an HTTP client with a
+module-level connection pool (per-executor reuse across Arrow batches —
+the Spark analogue of the reference's MaxIdleConns=1024 transport,
+downloader.go:196-213).  In this sandbox it is the deterministic
+synthetic web from :mod:`tegenaria_spark.sources.synth`: same UDF
+signature, same schema, same batching; only the I/O call is simulated.
+Image bytes are produced here (the "download"); phash is computed by a
+separate vectorized stage (functions/images.py) like every other
+derived column.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from tegenaria_spark.config import EngineConfig
+from tegenaria_spark.functions.canonical import py_canonicalize
+from tegenaria_spark.sources.synth import SiteConfig, image_record, synth_page
+
+FETCH_RESULT_COLS = (
+    "status INT, final_url STRING, delay DOUBLE, content_length BIGINT, error STRING, "
+    "outlinks ARRAY<STRING>, image_id STRING, caption STRING, img_fmt STRING, "
+    "image_bytes BINARY, img_w INT, img_h INT"
+)
+
+
+def simulate_fetch_one(url: str, site: SiteConfig, max_redirects: int) -> dict:
+    """Fetch one URL through the synthetic web, following redirects.
+
+    Shared verbatim by the Spark UDF below and the single-threaded
+    reference simulator — fetch results are identical by construction.
+    """
+    current = url
+    delay = 0.0
+    for _ in range(max_redirects + 1):
+        page = synth_page(current, site)
+        delay += page.delay
+        if page.status == 301 and page.redirect_to:
+            current = page.redirect_to
+            continue
+        result = {
+            "status": int(page.status),
+            "final_url": py_canonicalize(current)[0],
+            "delay": delay,
+            "content_length": int(page.content_length),
+            "error": None,
+            "outlinks": list(page.outlinks),
+            "image_id": page.image_id,
+            "caption": page.caption,
+            "img_fmt": page.fmt,
+            "image_bytes": None,
+            "img_w": None,
+            "img_h": None,
+        }
+        if page.status == 0:
+            result["error"] = "invalid url"
+        if page.image_id is not None:
+            rec = image_record(page.image_id, page.caption, page.fmt, site)
+            result["image_bytes"] = rec["bytes"]
+            result["img_w"] = rec["w"]
+            result["img_h"] = rec["h"]
+        return result
+    # redirect cap exceeded — MaxRedirectError (exceptions.go:61-63)
+    return {
+        "status": 301,
+        "final_url": py_canonicalize(current)[0],
+        "delay": delay,
+        "content_length": 0,
+        "error": "max redirects exceeded",
+        "outlinks": [],
+        "image_id": None,
+        "caption": None,
+        "img_fmt": None,
+        "image_bytes": None,
+        "img_w": None,
+        "img_h": None,
+    }
+
+
+def fetch_stage(selected: DataFrame, site: SiteConfig, cfg: EngineConfig) -> DataFrame:
+    """Run the fetch UDF; returns input columns + FETCH_RESULT_COLS."""
+    in_schema = selected.schema
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema.fields)
+    full_schema = out_schema + ", " + FETCH_RESULT_COLS
+    max_redirects = cfg.max_redirects
+
+    def _fetch_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            results = [simulate_fetch_one(u, site, max_redirects) for u in pdf["url"]]
+            res = pd.DataFrame(results)
+            for col in res.columns:
+                pdf[col] = res[col].values
+            yield pdf
+
+    return selected.mapInPandas(_fetch_batch, schema=full_schema)
+
+
+def check_status(fetched: DataFrame) -> DataFrame:
+    """F5 (downloader.go:236-244): status < 400 passes; ≥400 passes only
+    if listed in the request's allow_status; otherwise mark failed."""
+    bad = (
+        F.col("error").isNull()
+        & (F.col("status") >= 400)
+        & ~F.coalesce(
+            F.array_contains(F.col("allow_status"), F.col("status")), F.lit(False)
+        )
+    )
+    return fetched.withColumn(
+        "error",
+        F.when(bad, F.concat(F.lit("disallowed status "), F.col("status").cast("string"))).otherwise(
+            F.col("error")
+        ),
+    )

@@ -1,0 +1,165 @@
+"""Parse stage: parser registry, item extraction, outlink growth.
+
+The reference dispatches to a parser by reflective method-name lookup
+(/root/reference/engine.go:466-489, utils.go:65-75) and parsers push
+items into a channel and new requests back into the engine
+(example/quotes/spider.go:48-90).  The rebuild replaces reflection with
+a plain registry dict; a parser is a *DataFrame transform*
+``parse(fetched_df) -> (items_df, links_df)`` — column-level work stays
+JVM-side, and a parser that genuinely needs Python does its work in a
+pandas UDF it owns.
+
+Deterministic FIFO sequencing: new requests are ordered by
+``(parent enqueue_seq, outlink position)`` — the linearization of the
+reference's enqueue order — and assigned
+``enqueue_seq = round·stride + rank`` via range-partition +
+``zipWithIndex`` (distributed: one count job + per-partition offsets; no
+single-task global window, no nondeterministic
+``monotonically_increasing_id``)."""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from tegenaria_spark.config import EngineConfig
+from tegenaria_spark.functions.images import with_phash
+from tegenaria_spark.schemas import IMAGES_SCHEMA
+
+ParserFn = Callable[[DataFrame], tuple[DataFrame, DataFrame]]
+
+PARSER_REGISTRY: dict[str, ParserFn] = {}
+
+
+def register_parser(name: str):
+    """Registry-key dispatch replacing Go reflection (utils.go:73-75);
+    like the reference (distributed/utils.go:40-42) unnamed parsers are
+    rejected — here by requiring explicit registration."""
+
+    def deco(fn: ParserFn) -> ParserFn:
+        PARSER_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+@register_parser("image_parser")
+def image_parser(ok: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The flagship parser (quotes-spider analogue): emit one image
+    item per 200-page carrying a payload, and every outlink as a new
+    request candidate.  phash is computed vectorized here — the item
+    table matches the input_hint shape exactly."""
+    items = (
+        ok.filter(F.col("image_id").isNotNull())
+        .select(
+            F.col("image_id"),
+            F.col("image_bytes").alias("bytes"),
+            F.col("img_w").alias("w"),
+            F.col("img_h").alias("h"),
+            F.col("img_fmt").alias("fmt"),
+            F.col("caption"),
+        )
+    )
+    items = with_phash(items).select([f.name for f in IMAGES_SCHEMA.fields])
+    links = ok.select(
+        F.col("enqueue_seq").alias("parent_seq"),
+        F.col("priority").alias("parent_priority"),
+        F.posexplode(F.col("outlinks")).alias("pos", "url"),
+    )
+    return items, links
+
+
+def run_parsers(ok: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """M3: route fetched rows to their parser by the ``parser`` column.
+
+    With one registered parser this is a single pass; with many, each
+    parser sees only its slice (same effect as the reference's
+    per-request reflective dispatch, engine.go:477-479)."""
+    names = [r["parser"] for r in ok.select("parser").distinct().collect()]
+    items_parts: list[DataFrame] = []
+    links_parts: list[DataFrame] = []
+    for name in names:
+        fn = PARSER_REGISTRY.get(name)
+        if fn is None:
+            raise KeyError(f"parser not registered: {name!r}")
+        items, links = fn(ok.filter(F.col("parser") == name))
+        items_parts.append(items)
+        links_parts.append(links)
+    if not items_parts:
+        spark = ok.sparkSession
+        return (
+            spark.createDataFrame([], IMAGES_SCHEMA),
+            spark.createDataFrame([], "parent_seq bigint, parent_priority int, pos int, url string"),
+        )
+    items = items_parts[0]
+    links = links_parts[0]
+    for p in items_parts[1:]:
+        items = items.unionByName(p)
+    for p in links_parts[1:]:
+        links = links.unionByName(p)
+    return items, links
+
+
+def assign_enqueue_seq(links: DataFrame, round_no: int, cfg: EngineConfig) -> DataFrame:
+    """Deterministic distributed sequence assignment.
+
+    Total order = (parent_seq, pos); ``zipWithIndex`` materializes the
+    rank with one lightweight count job and per-partition offsets —
+    O(partitions) driver state, never a single-task sort."""
+    spark = links.sparkSession
+    ordered = links.repartitionByRange(
+        cfg.shuffle_partitions, F.col("parent_seq"), F.col("pos")
+    ).sortWithinPartitions("parent_seq", "pos")
+    base = round_no * cfg.seq_stride
+    schema = ordered.schema
+    indexed = ordered.rdd.zipWithIndex().map(lambda t: (*t[0], base + t[1]))
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(list(schema.fields) + [StructField("enqueue_seq", LongType(), False)])
+    return spark.createDataFrame(indexed, out_schema)
+
+
+def links_to_candidates(links_with_seq: DataFrame, round_no: int, next_fetch_time_col) -> DataFrame:
+    """Shape exploded outlinks as frontier candidate rows (S2 input).
+
+    Children inherit the parent's priority (the reference's quotes
+    spider enqueues next-page requests with default options,
+    example/quotes/spider.go:74-88)."""
+    return links_with_seq.select(
+        F.concat(F.lit("ctx-"), F.col("enqueue_seq").cast("string")).alias("ctx_id"),
+        F.col("url"),
+        F.lit("GET").alias("method"),
+        F.create_map(F.lit("User-Agent"), F.lit("tegenaria-spark/0.1")).alias("headers"),
+        F.lit(None).cast("binary").alias("body"),
+        F.lit(None).cast("map<string,string>").alias("params"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+        F.lit("image_parser").alias("parser"),
+        F.lit(False).alias("do_not_filter"),
+        F.lit([]).cast("array<int>").alias("allow_status"),
+        F.col("parent_priority").alias("priority"),
+        F.col("enqueue_seq"),
+        next_fetch_time_col.alias("next_fetch_time"),
+        F.lit(0).cast("int").alias("retries"),
+        F.lit(round_no + 1).cast("int").alias("round_added"),
+    )
+
+
+def retry_candidates(failed: DataFrame, round_no: int, cfg: EngineConfig, next_fetch_time_col) -> DataFrame:
+    """M5 (engine.go:269-281 + tutorial ErrorHandler): failed requests
+    re-enqueue with DoNotFilter (they are already in url_seen) until the
+    retry cap; they keep their enqueue_seq (queue position semantics are
+    per-round, and determinism only needs a stable unique key)."""
+    cols = [
+        "ctx_id", "url", "method", "headers", "body", "params", "meta", "parser",
+        "do_not_filter", "allow_status", "priority", "enqueue_seq",
+        "next_fetch_time", "retries", "round_added",
+    ]
+    return (
+        failed.filter(F.col("retries") < cfg.max_retries)
+        .withColumn("retries", F.col("retries") + F.lit(1))
+        .withColumn("do_not_filter", F.lit(True))
+        .withColumn("next_fetch_time", next_fetch_time_col)
+        .select(*cols)
+    )

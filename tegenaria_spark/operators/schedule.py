@@ -1,0 +1,124 @@
+"""Round scheduler: robots gate, politeness budgets, priority ranking,
+domain-salted repartition.
+
+The reference throttles with wall-clock token/leaky buckets
+(/root/reference/limiter.go:46-57 local, distributed/limiter.go:36-74
+Redis Lua) and dequeues FIFO one request at a time (cache.go:69-76).
+Batch semantics turn both into *set* operators:
+
+- rate r req/s over a round of T seconds ⇒ per-domain budget = r·T
+  rows per round (Q2/Q3).  Atomicity is free — one scheduler decision
+  per round instead of a Lua script.
+- FIFO ⇒ total order by (priority, next_fetch_time, enqueue_seq);
+  ranking is a window ``row_number`` per domain (Q1).
+
+Rows over budget are deferred: ``next_fetch_time`` moves to the next
+round and they stay in the frontier (the reference blocks the goroutine
+instead — same effective schedule, provably: both fetch exactly the
+first ``budget`` eligible requests per domain per interval).
+
+Skew (north_rule): one hot domain would otherwise pin a single task, so
+the *fetch* stage repartitions by ``hash(domain) % P * S + hash(url) % S``
+— the per-domain budget was already enforced pre-split, so politeness
+survives the fan-out while the hot domain spreads over S tasks.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from tegenaria_spark.config import EngineConfig
+
+
+def round_ts_expr(round_no: int, cfg: EngineConfig):
+    """Deterministic wall-clock stand-in: epoch + round·interval."""
+    ms = cfg.epoch_ms + round_no * cfg.round_interval_s * 1000
+    return F.timestamp_millis(F.lit(ms))
+
+
+def split_ready(frontier: DataFrame, round_no: int, cfg: EngineConfig) -> tuple[DataFrame, DataFrame]:
+    """Rows eligible this round vs rows sleeping until a later round."""
+    ready = frontier.filter(F.col("next_fetch_time") <= round_ts_expr(round_no, cfg))
+    sleeping = frontier.filter(F.col("next_fetch_time") > round_ts_expr(round_no, cfg))
+    return ready, sleeping
+
+
+def robots_gate(ready: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Longest-matching-prefix robots decision per URL; default allow.
+
+    The robots table is per-domain and tiny relative to the frontier —
+    broadcast it so the gate is a map-side join, no shuffle.  Returns
+    (allowed, blocked).
+    """
+    path = F.coalesce(F.parse_url(F.col("canon_url"), F.lit("PATH")), F.lit("/"))
+    rules = F.broadcast(
+        robots.select(
+            F.col("domain").alias("_r_domain"),
+            F.col("path_prefix").alias("_r_prefix"),
+            F.col("allow").alias("_r_allow"),
+        )
+    )
+    joined = ready.withColumn("_path", path).join(
+        rules,
+        (F.col("domain") == F.col("_r_domain")) & F.col("_path").startswith(F.col("_r_prefix")),
+        "left",
+    )
+    # longest matching prefix wins; no match ⇒ allow
+    w = Window.partitionBy("ctx_id", "enqueue_seq").orderBy(F.length("_r_prefix").desc())
+    decided = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .withColumn("_allowed", F.coalesce(F.col("_r_allow"), F.lit(True)))
+        .drop("_rn", "_r_domain", "_r_prefix", "_r_allow", "_path")
+    )
+    allowed = decided.filter(F.col("_allowed")).drop("_allowed")
+    blocked = decided.filter(~F.col("_allowed")).drop("_allowed")
+    return allowed, blocked
+
+
+def budget_select(
+    allowed: DataFrame,
+    domain_budget: DataFrame,
+    round_no: int,
+    cfg: EngineConfig,
+) -> tuple[DataFrame, DataFrame]:
+    """Q1+Q2: rank per domain by (priority, next_fetch_time,
+    enqueue_seq); the first ``budget_per_round`` rows fetch now, the
+    rest defer one round.  Budget dim is broadcast (small), ranking is
+    the round's one unavoidable shuffle on ``domain``."""
+    budgets = F.broadcast(
+        domain_budget.select(
+            F.col("domain").alias("_b_domain"), F.col("budget_per_round").alias("_budget")
+        )
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.col("priority").asc(), F.col("next_fetch_time").asc(), F.col("enqueue_seq").asc()
+    )
+    ranked = (
+        allowed.join(budgets, F.col("domain") == F.col("_b_domain"), "left")
+        .withColumn("_budget", F.coalesce(F.col("_budget"), F.lit(cfg.default_budget_per_round)))
+        .withColumn("_rank", F.row_number().over(w))
+        .drop("_b_domain")
+    )
+    selected = ranked.filter(F.col("_rank") <= F.col("_budget")).drop("_rank", "_budget")
+    deferred = (
+        ranked.filter(F.col("_rank") > F.col("_budget"))
+        .drop("_rank", "_budget")
+        .withColumn("next_fetch_time", round_ts_expr(round_no + 1, cfg))
+    )
+    return selected, deferred
+
+
+def salt_for_fetch(selected: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Explicit hot-domain kill: spread each domain over S fetch tasks.
+
+    ``salt = pmod(hash(domain), P)·S + pmod(hash(url), S)`` — same
+    domain stays within an S-slot band (politeness already applied), a
+    hot domain no longer serializes a round."""
+    p = cfg.shuffle_partitions
+    s = cfg.domain_salt_width
+    salt = (F.pmod(F.hash("domain"), F.lit(p)) * s + F.pmod(F.hash("canon_url"), F.lit(s))).alias(
+        "_salt"
+    )
+    return selected.repartition(p * s, salt)

@@ -1,0 +1,42 @@
+"""SparkSession factory with the engine's scale-oriented defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from tegenaria_spark.config import DEFAULT_CONFIG, EngineConfig
+
+
+def get_spark(
+    app: str = "tegenaria-spark",
+    master: str | None = None,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> SparkSession:
+    """Build a session tuned for the crawl workload.
+
+    AQE on (runtime re-plan + skew-join splitting as a safety net behind
+    our explicit domain salting), Arrow batches capped so image-payload
+    partitions fit executor memory, shuffle partitions parameterized.
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    builder = (
+        SparkSession.builder.appName(app)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(config.shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(config.arrow_max_records_per_batch),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in config.extra_spark_conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

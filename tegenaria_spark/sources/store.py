@@ -1,0 +1,147 @@
+"""Snapshot store: per-round atomic commits, resume, lineage.
+
+Replaces the reference's Redis queue + InfluxDB stats pair
+(/root/reference/distributed/queue.go, distributed/stats.go) with one
+table-versioned store, and gives the engine the north_rule checkpoint
+semantics: every crawl round commits a snapshot; a restarted driver
+resumes from the last *committed* round (Q7, engine.go:222-230
+pause/resume made durable).
+
+Layout (an Iceberg-shaped fallback on plain parquet — the interface is
+what Iceberg's catalog would provide; swap ``LocalSnapshotStore`` for an
+Iceberg writer and nothing above this module changes):
+
+    root/
+      state/frontier/v{r}/      full frontier state as of end of round r
+      state/url_seen/v{r}/      append-only delta per round (read = union ≤ r)
+      logs/{items,fetch_log,metrics,lineage}/round={r}/
+      commits/round-{r}.json    written LAST — the atomic commit marker
+
+A round is visible iff its marker exists; crash mid-round leaves
+orphan data dirs that the next run ignores and overwrites.  With real
+Iceberg, frontier maintenance becomes row-level MERGE instead of a
+versioned rewrite and url_seen reads prune by the ``bucket(fp)``
+partition spec — the fallback keeps the same read/write API.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from tegenaria_spark.schemas import (
+    FRONTIER_SCHEMA,
+    LINEAGE_SCHEMA,
+    URL_SEEN_SCHEMA,
+)
+
+APPEND_TABLES = ("items", "fetch_log", "metrics", "lineage")
+
+
+class LocalSnapshotStore:
+    def __init__(self, root: str, spark: SparkSession):
+        self.root = root
+        self.spark = spark
+        os.makedirs(os.path.join(root, "commits"), exist_ok=True)
+
+    # -- commit protocol ----------------------------------------------------
+
+    def last_committed_round(self) -> Optional[int]:
+        cdir = os.path.join(self.root, "commits")
+        rounds = [
+            int(f[len("round-") : -len(".json")])
+            for f in os.listdir(cdir)
+            if f.startswith("round-") and f.endswith(".json")
+        ]
+        return max(rounds) if rounds else None
+
+    def _state_path(self, table: str, r: int) -> str:
+        return os.path.join(self.root, "state", table, f"v{r}")
+
+    def _log_path(self, table: str, r: int) -> str:
+        return os.path.join(self.root, "logs", table, f"round={r}")
+
+    def commit_round(
+        self,
+        r: int,
+        frontier: DataFrame,
+        url_seen_delta: DataFrame,
+        logs: dict[str, DataFrame],
+        stats: dict,
+    ) -> str:
+        """Write state + appends, then the marker.  Returns snapshot id."""
+        snapshot_id = f"snap-{r}-{uuid.uuid4().hex[:12]}"
+        lineage_rows = []
+
+        def write(df: DataFrame, path: str, table: str) -> None:
+            if os.path.exists(path):
+                shutil.rmtree(path)  # orphan from a crashed attempt
+            df.write.mode("overwrite").parquet(path)
+            counts = (
+                self.spark.read.parquet(path)
+                .groupBy(F.spark_partition_id().alias("partition_id"))
+                .count()
+                .collect()
+            )
+            for row in counts:
+                lineage_rows.append(
+                    (r, table, int(row["partition_id"]), snapshot_id, int(row["count"]))
+                )
+
+        write(frontier, self._state_path("frontier", r), "frontier")
+        write(url_seen_delta, self._state_path("url_seen", r), "url_seen")
+        for name, df in logs.items():
+            write(df, self._log_path(name, r), name)
+
+        lineage = self.spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA)
+        lineage.write.mode("overwrite").parquet(self._log_path("lineage", r))
+
+        marker = {
+            "round": r,
+            "snapshot_id": snapshot_id,
+            "stats": stats,
+            "tables": {t: self._log_path(t, r) for t in logs} | {
+                "frontier": self._state_path("frontier", r),
+                "url_seen_delta": self._state_path("url_seen", r),
+            },
+        }
+        tmp = os.path.join(self.root, "commits", f".round-{r}.json.tmp")
+        final = os.path.join(self.root, "commits", f"round-{r}.json")
+        with open(tmp, "w") as fh:
+            json.dump(marker, fh, indent=2)
+        os.replace(tmp, final)  # the atomic commit point
+        return snapshot_id
+
+    # -- reads ---------------------------------------------------------------
+
+    def read_frontier(self, r: int) -> DataFrame:
+        return self.spark.read.schema(FRONTIER_SCHEMA).parquet(self._state_path("frontier", r))
+
+    def read_url_seen(self, upto_round: int) -> DataFrame:
+        paths = [
+            self._state_path("url_seen", i)
+            for i in range(upto_round + 1)
+            if os.path.exists(self._state_path("url_seen", i))
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], URL_SEEN_SCHEMA)
+        return self.spark.read.schema(URL_SEEN_SCHEMA).parquet(*paths)
+
+    def read_log(self, table: str, upto_round: Optional[int] = None) -> DataFrame:
+        base = os.path.join(self.root, "logs", table)
+        if not os.path.exists(base):
+            raise FileNotFoundError(base)
+        last = self.last_committed_round()
+        upto = last if upto_round is None else upto_round
+        paths = [
+            self._log_path(table, i)
+            for i in range(upto + 1)
+            if os.path.exists(self._log_path(table, i))
+        ]
+        return self.spark.read.option("basePath", base).parquet(*paths)

@@ -1,0 +1,225 @@
+"""Deterministic synthetic web + seed frontier.
+
+Replaces the reference's in-process gin httptest server
+(/root/reference/example.go:143-246 — routes for GET/POST/403/redirect/
+timeout/JSON) with a *pure function of the URL*: ``synth_page(url)``
+derives status, redirect chains, outlinks and image payloads entirely
+from XXH64 of the canonical URL plus a site seed.  No table lookup, no
+network, no wall clock — so the Spark fetch UDF (executor-side), the
+single-threaded reference simulator (driver-side) and any oracle see
+byte-identical pages by construction at any scale.
+
+The URL space is finite (``pages_per_domain`` per domain) so a crawl
+terminates exactly when the reachable set is exhausted — the dedup
+gate, not the generator, ends the crawl (mirrors the quotes example's
+pagination, /root/reference/example/quotes/spider.go:74-88).
+
+Domain popularity is Zipf-skewed: domain 0 is deliberately hot so the
+salting/skew path is exercised (north_rule: explicit skew handling).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+from tegenaria_spark.functions.canonical import py_canonicalize
+from tegenaria_spark.functions.images import encode_image, phash64
+from tegenaria_spark.functions.xxh64 import xxh64_unsigned
+
+
+@dataclass(frozen=True)
+class SiteConfig:
+    n_domains: int = 20
+    pages_per_domain: int = 64
+    max_outlinks: int = 6
+    seed: int = 42
+    image_ratio: float = 0.7      # fraction of 200-pages carrying an image
+    redirect_ratio: float = 0.05
+    error_ratio: float = 0.06     # 403/404/500 mix
+    zipf_a: float = 1.3           # domain popularity skew
+
+    def domain(self, k: int) -> str:
+        return f"d{k:03d}.example.test"
+
+    def page_url(self, domain_idx: int, page_idx: int, shuffle: int = 0) -> str:
+        """Canonical page URL; shuffle>0 emits a semantically-equal variant
+        (reordered query params / added fragment) to exercise F3."""
+        d = self.domain(domain_idx)
+        if shuffle == 0:
+            return f"http://{d}/p/{page_idx}?id={page_idx}&v=1"
+        if shuffle == 1:
+            return f"http://{d}/p/{page_idx}?v=1&id={page_idx}"
+        return f"http://{d}/p/{page_idx}?v=1&id={page_idx}#sec{shuffle}"
+
+
+class Page(NamedTuple):
+    status: int
+    redirect_to: Optional[str]
+    outlinks: list[str]
+    image_id: Optional[str]
+    caption: Optional[str]
+    fmt: Optional[str]
+    content_length: int
+    delay: float
+
+
+def _page_hash(canon_url: str, cfg: SiteConfig) -> int:
+    return xxh64_unsigned(f"site:{cfg.seed}:{canon_url}".encode("utf-8"))
+
+
+def _parse_page(canon_url: str, cfg: SiteConfig) -> Optional[tuple[int, int]]:
+    """Extract (domain_idx, page_idx) from a synthetic URL, else None (404)."""
+    try:
+        host = canon_url.split("://", 1)[1].split("/", 1)[0]
+        if not (host.startswith("d") and host.endswith(".example.test")):
+            return None
+        d = int(host[1:4])
+        path = canon_url.split(host, 1)[1]
+        if not path.startswith("/p/"):
+            return None
+        p = int(path[3:].split("?", 1)[0])
+        if 0 <= d < cfg.n_domains and 0 <= p < cfg.pages_per_domain:
+            return (d, p)
+        return None
+    except (ValueError, IndexError):
+        return None
+
+
+def synth_page(url: str, cfg: SiteConfig) -> Page:
+    """The synthetic web: deterministic page for any URL."""
+    canon, _, valid = py_canonicalize(url)
+    if not valid:
+        return Page(0, None, [], None, None, None, 0, 0.0)
+    loc = _parse_page(canon, cfg)
+    if loc is None:
+        return Page(404, None, [], None, None, None, 64, 0.001)
+    d, p = loc
+    h = _page_hash(canon, cfg)
+    roll = (h % 10_000) / 10_000.0
+
+    if roll < cfg.redirect_ratio and p + 1 < cfg.pages_per_domain:
+        # redirect to the next page on the same domain (chains arise naturally)
+        return Page(301, cfg.page_url(d, p + 1), [], None, None, None, 0, 0.001)
+    if roll < cfg.redirect_ratio + cfg.error_ratio:
+        status = [403, 404, 500][h % 3]
+        return Page(status, None, [], None, None, None, 128, 0.002)
+
+    # 200 page: outlinks mostly same-domain, ~1 in 4 pages links cross-domain
+    n_links = h % (cfg.max_outlinks + 1)
+    links: list[str] = []
+    for i in range(n_links):
+        hh = xxh64_unsigned(f"link:{cfg.seed}:{canon}:{i}".encode())
+        if hh % 4 == 0 and cfg.n_domains > 1:
+            td = hh % cfg.n_domains
+            tp = (hh >> 8) % cfg.pages_per_domain
+        else:
+            td = d
+            tp = (hh >> 8) % cfg.pages_per_domain
+        links.append(cfg.page_url(td, tp, shuffle=int(hh % 3)))
+
+    image_id = None
+    caption = None
+    fmt = None
+    if (h >> 16) % 1000 < int(cfg.image_ratio * 1000):
+        image_id = f"img-{d:03d}-{p:04d}"
+        fmt = "png" if (h >> 24) % 2 == 0 else "jpeg"
+        caption = f"synthetic {fmt} image {image_id} from {cfg.domain(d)} token{h % 997}"
+    return Page(200, None, links, image_id, caption, fmt, 1024 + h % 4096, 0.001 + (h % 50) / 10_000.0)
+
+
+def image_pixels(image_id: str, cfg: SiteConfig) -> np.ndarray:
+    """Deterministic pixel array for an image_id: seeded gradient + noise."""
+    h = xxh64_unsigned(f"img:{cfg.seed}:{image_id}".encode())
+    rng = np.random.RandomState(h % (2**31))
+    hgt = 24 + h % 41
+    wid = 24 + (h >> 8) % 41
+    yy, xx = np.mgrid[0:hgt, 0:wid]
+    base = np.stack(
+        [
+            (xx * 255 / max(wid - 1, 1)),
+            (yy * 255 / max(hgt - 1, 1)),
+            ((xx + yy) * 127 / max(wid + hgt - 2, 1)),
+        ],
+        axis=-1,
+    )
+    noise = rng.randint(-20, 21, size=(hgt, wid, 3))
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+def image_record(image_id: str, caption: str, fmt: str, cfg: SiteConfig) -> dict:
+    """Full store row for an image page — used by the fetch simulator
+    (engine) AND the oracle store generator; identical bytes both sides."""
+    px = image_pixels(image_id, cfg)
+    blob = encode_image(px, fmt)
+    return {
+        "image_id": image_id,
+        "bytes": blob,
+        "w": int(px.shape[1]),
+        "h": int(px.shape[0]),
+        "fmt": fmt,
+        "caption": caption,
+        "phash": phash64(px),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Seed frontier
+# ---------------------------------------------------------------------------
+
+
+def seed_urls(cfg: SiteConfig, n_seeds: int, dup_ratio: float = 0.2, seed: int = 7) -> list[dict]:
+    """Deterministic seed list with Zipf-skewed domains, ~dup_ratio
+    semantically-duplicate URLs (shuffled query order / fragments) and a
+    few do_not_filter rows (mirrors dupefilters_test.go:30-42)."""
+    rng = np.random.RandomState(seed)
+    ranks = np.arange(1, cfg.n_domains + 1, dtype=np.float64)
+    probs = ranks ** (-cfg.zipf_a)
+    probs /= probs.sum()
+    rows = []
+    for i in range(n_seeds):
+        d = int(rng.choice(cfg.n_domains, p=probs))
+        p = int(rng.randint(0, cfg.pages_per_domain))
+        shuffle = int(rng.randint(0, 3)) if rng.rand() < dup_ratio else 0
+        rows.append(
+            {
+                "ctx_id": f"seed-{i:06d}",
+                "url": cfg.page_url(d, p, shuffle=shuffle),
+                "method": "GET",
+                "headers": {"User-Agent": "tegenaria-spark/0.1"},
+                "body": None,
+                "params": None,
+                "meta": None,
+                "parser": "image_parser",
+                "do_not_filter": bool(rng.rand() < 0.02),
+                "allow_status": [],
+                "priority": int(rng.randint(0, 3)),
+                "enqueue_seq": i,
+                "retries": 0,
+                "round_added": 0,
+            }
+        )
+    return rows
+
+
+def robots_rules(cfg: SiteConfig) -> list[dict]:
+    """Synthesized permissive rules + a few disallowed prefixes
+    (north_rule; the reference has no robots handling)."""
+    rows = []
+    for k in range(cfg.n_domains):
+        d = cfg.domain(k)
+        rows.append({"domain": d, "path_prefix": "/", "allow": True})
+        if k % 5 == 0:
+            # disallow a slice of the page space on every 5th domain
+            rows.append({"domain": d, "path_prefix": "/p/1", "allow": False})
+    return rows
+
+
+def domain_budgets(cfg: SiteConfig, default_budget: int = 16) -> list[dict]:
+    rows = []
+    for k in range(cfg.n_domains):
+        budget = default_budget if k else max(4, default_budget // 2)  # hot domain throttled
+        rows.append({"domain": cfg.domain(k), "budget_per_round": budget, "max_conns": 128})
+    return rows
