@@ -28,6 +28,10 @@ class EngineConfig:
     bloom_n: int = 1_048_576
     bloom_p: float = 0.001
     bloom_enabled: bool = True
+    # below this seen-set size the anti-join alone is cheaper than
+    # building + broadcasting a bitmap (the prefilter only pays off once
+    # the join side is big)
+    bloom_min_seen: int = 4096
 
     # --- partitioning / skew (north_rule: explicit salting).
     shuffle_partitions: int = 32

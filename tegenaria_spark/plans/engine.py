@@ -209,7 +209,7 @@ class CrawlEngine:
         candidates = candidates.filter(F.col("valid"))
 
         bloom_udf = None
-        if cfg.bloom_enabled:
+        if cfg.bloom_enabled and self.store.url_seen_total(r) >= cfg.bloom_min_seen:
             bloom = build_bloom(url_seen, cfg.bloom_n, cfg.bloom_p)
             bloom_udf = bloom_maybe_seen_udf(self.spark, bloom)
         fresh, dups = dedup_gate(candidates, url_seen, bloom_udf)
@@ -244,16 +244,14 @@ class CrawlEngine:
             row["outcome"]: row["count"]
             for row in fetch_log.groupBy("outcome").count().collect()
         }
-        snapshot_id = self.store.commit_round(
+        snapshot_id, table_counts = self.store.commit_round(
             r + 1,
             new_frontier,
             seen_delta,
             {"items": items, "fetch_log": fetch_log, "metrics": metrics},
             {"phase": "round", "round": r, "outcomes": counts},
         )
-        frontier_size = self.spark.read.parquet(
-            self.store._state_path("frontier", r + 1)
-        ).count()
+        frontier_size = table_counts.get("frontier", 0)
 
         return RoundResult(
             round_no=r,

@@ -61,11 +61,26 @@ class LocalSnapshotStore:
         ]
         return max(rounds) if rounds else None
 
+    def committed_row_counts(self, r: int) -> dict[str, int]:
+        path = os.path.join(self.root, "commits", f"round-{r}.json")
+        if not os.path.exists(path):
+            return {}
+        with open(path) as fh:
+            return json.load(fh).get("row_counts", {})
+
+    def url_seen_total(self, upto_round: int) -> int:
+        """Cumulative seen-set size from commit metadata — no Spark job."""
+        return sum(
+            self.committed_row_counts(i).get("url_seen", 0) for i in range(upto_round + 1)
+        )
+
     def _state_path(self, table: str, r: int) -> str:
         return os.path.join(self.root, "state", table, f"v{r}")
 
     def _log_path(self, table: str, r: int) -> str:
-        return os.path.join(self.root, "logs", table, f"round={r}")
+        # rows carry their own `round` column; dir name is plain (not
+        # partition-style) so parquet partition inference can't collide
+        return os.path.join(self.root, "logs", table, f"r{r}")
 
     def commit_round(
         self,
@@ -74,8 +89,12 @@ class LocalSnapshotStore:
         url_seen_delta: DataFrame,
         logs: dict[str, DataFrame],
         stats: dict,
-    ) -> str:
-        """Write state + appends, then the marker.  Returns snapshot id."""
+    ) -> tuple[str, dict[str, int]]:
+        """Write state + appends, then the marker.
+
+        Returns ``(snapshot_id, row_counts_per_table)`` — counts fall out
+        of the lineage pass, so callers never need a separate count job.
+        """
         snapshot_id = f"snap-{r}-{uuid.uuid4().hex[:12]}"
         lineage_rows = []
 
@@ -111,12 +130,17 @@ class LocalSnapshotStore:
                 "url_seen_delta": self._state_path("url_seen", r),
             },
         }
+        table_counts: dict[str, int] = {}
+        for _, table, _, _, n in lineage_rows:
+            table_counts[table] = table_counts.get(table, 0) + n
+        marker["row_counts"] = table_counts
+
         tmp = os.path.join(self.root, "commits", f".round-{r}.json.tmp")
         final = os.path.join(self.root, "commits", f"round-{r}.json")
         with open(tmp, "w") as fh:
             json.dump(marker, fh, indent=2)
         os.replace(tmp, final)  # the atomic commit point
-        return snapshot_id
+        return snapshot_id, table_counts
 
     # -- reads ---------------------------------------------------------------
 
@@ -144,4 +168,4 @@ class LocalSnapshotStore:
             for i in range(upto + 1)
             if os.path.exists(self._log_path(table, i))
         ]
-        return self.spark.read.option("basePath", base).parquet(*paths)
+        return self.spark.read.parquet(*paths)

@@ -154,6 +154,8 @@ def image_record(image_id: str, caption: str, fmt: str, cfg: SiteConfig) -> dict
     (engine) AND the oracle store generator; identical bytes both sides."""
     px = image_pixels(image_id, cfg)
     blob = encode_image(px, fmt)
+    from tegenaria_spark.functions.images import decode_image
+
     return {
         "image_id": image_id,
         "bytes": blob,
@@ -161,7 +163,9 @@ def image_record(image_id: str, caption: str, fmt: str, cfg: SiteConfig) -> dict
         "h": int(px.shape[0]),
         "fmt": fmt,
         "caption": caption,
-        "phash": phash64(px),
+        # phash describes the *stored* bytes (what a consumer decodes),
+        # so lossy formats hash the reconstruction, not the original
+        "phash": phash64(decode_image(blob)),
     }
 
 

@@ -1,0 +1,153 @@
+"""Engine end-to-end: the reference's engine_test.go assertions on the
+Spark engine, plus resume-from-snapshot."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from tegenaria_spark.config import EngineConfig
+from tegenaria_spark.plans.engine import CrawlEngine
+from tegenaria_spark.sources.store import LocalSnapshotStore
+from tegenaria_spark.sources.synth import SiteConfig, domain_budgets, robots_rules, seed_urls
+
+CFG = EngineConfig(shuffle_partitions=8, bloom_n=100_000)
+
+
+def _single_seed(site: SiteConfig, d: int, p: int) -> list[dict]:
+    return [
+        {
+            "ctx_id": "seed-0",
+            "url": site.page_url(d, p),
+            "method": "GET",
+            "headers": {"User-Agent": "tegenaria-spark/0.1"},
+            "body": None,
+            "params": None,
+            "meta": None,
+            "parser": "image_parser",
+            "do_not_filter": False,
+            "allow_status": [],
+            "priority": 0,
+            "enqueue_seq": 0,
+            "retries": 0,
+            "round_added": 0,
+        }
+    ]
+
+
+def _find_page(site, want_image: bool, want_links: bool = False):
+    """Locate a deterministic 200-page with/without payload."""
+    from tegenaria_spark.sources.synth import synth_page
+
+    for d in range(site.n_domains):
+        for p in range(site.pages_per_domain):
+            page = synth_page(site.page_url(d, p), site)
+            if page.status != 200:
+                continue
+            if want_image == (page.image_id is not None) and (
+                not want_links or page.outlinks
+            ):
+                return d, p
+    raise AssertionError("no such page in synthetic site")
+
+
+def test_single_seed_round_stats(spark, tmp_store_dir):
+    """engine_test.go:217-236: one seed ⇒ requests=1, items=1,
+    status-200=1, errors=0."""
+    site = SiteConfig(n_domains=4, pages_per_domain=16)
+    d, p = _find_page(site, want_image=True)
+    store = LocalSnapshotStore(tmp_store_dir, spark)
+    engine = CrawlEngine(spark, store, site, CFG)
+    summary = engine.run(_single_seed(site, d, p), max_rounds=1)
+
+    assert len(summary.rounds) == 1
+    metrics = {
+        r["metric"]: r["value"]
+        for r in store.read_log("metrics", 1).filter(F.col("round") == 0).collect()
+    }
+    assert metrics["requests"] == 1
+    assert metrics["items"] == 1
+    assert metrics["200"] == 1
+    assert metrics["errors"] == 0
+
+    items = store.read_log("items", 1)
+    row = items.collect()[0]
+    assert row["image_id"] is not None and row["phash"] is not None
+    assert row["fmt"] in ("png", "jpeg") and len(row["bytes"]) > 0
+
+
+def test_crawl_terminates_and_dedups(spark, tmp_store_dir):
+    site = SiteConfig(n_domains=3, pages_per_domain=12)
+    store = LocalSnapshotStore(tmp_store_dir, spark)
+    engine = CrawlEngine(
+        spark,
+        store,
+        site,
+        CFG,
+        robots_rows=robots_rules(site),
+        budget_rows=domain_budgets(site, default_budget=8),
+    )
+    seeds = seed_urls(site, n_seeds=10)
+    summary = engine.run(seeds, max_rounds=30)
+    last = store.last_committed_round()
+    # terminated: frontier drained before max_rounds
+    assert store.read_frontier(last).isEmpty()
+
+    log = store.read_log("fetch_log")
+    # every fetched canonical URL exactly once (dedup at enqueue + budget):
+    fetched = log.filter(F.col("outcome") == "fetched")
+    urls = [r["url"] for r in fetched.collect()]
+    from tegenaria_spark.functions.canonical import py_canonicalize
+
+    canon = [py_canonicalize(u)[0] for u in urls]
+    assert len(canon) == len(set(canon))
+    assert summary.total_fetched == len(canon) > 0
+    # some duplicates were dropped (seed list has ~20% dups + link cycles)
+    assert log.filter(F.col("outcome") == "dup_dropped").count() > 0
+
+
+def test_resume_from_snapshot(spark, tmp_store_dir):
+    """Q7/north_rule: kill after round k, resume, final state identical
+    to an uninterrupted run."""
+    site = SiteConfig(n_domains=2, pages_per_domain=6)
+    seeds = seed_urls(site, n_seeds=6)
+
+    store1 = LocalSnapshotStore(tmp_store_dir + "-full", spark)
+    engine1 = CrawlEngine(spark, store1, site, CFG, budget_rows=domain_budgets(site, 8))
+    engine1.run(seeds, max_rounds=30)
+
+    store2 = LocalSnapshotStore(tmp_store_dir + "-split", spark)
+    engine2 = CrawlEngine(spark, store2, site, CFG, budget_rows=domain_budgets(site, 8))
+    engine2.run(seeds, max_rounds=2)  # "crash" after 2 rounds
+    engine3 = CrawlEngine(spark, store2, site, CFG, budget_rows=domain_budgets(site, 8))
+    engine3.run(resume=True, max_rounds=30)
+
+    def fetched_set(store):
+        return {
+            (r["round"], r["seq"], r["url"])
+            for r in store.read_log("fetch_log")
+            .filter(F.col("outcome") == "fetched")
+            .collect()
+        }
+
+    assert fetched_set(store1) == fetched_set(store2)
+
+    def seen_set(store):
+        return {
+            r["fp"] for r in store.read_url_seen(store.last_committed_round()).collect()
+        }
+
+    assert seen_set(store1) == seen_set(store2)
+
+
+def test_lineage_rows_written(spark, tmp_store_dir):
+    site = SiteConfig(n_domains=2, pages_per_domain=8)
+    store = LocalSnapshotStore(tmp_store_dir, spark)
+    engine = CrawlEngine(spark, store, site, CFG)
+    engine.run(seed_urls(site, n_seeds=4), max_rounds=3)
+    lineage = store.read_log("lineage")
+    rows = lineage.collect()
+    assert len(rows) > 0
+    tables = {r["table"] for r in rows}
+    assert {"frontier", "url_seen", "fetch_log"} <= tables
+    assert all(r["snapshot_id"].startswith("snap-") for r in rows)
