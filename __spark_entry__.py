@@ -1,38 +1,480 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship smoke query on sf0.001.
+``queries()`` — one entry per implemented operator from SURVEY.md §2
+plus the training-data-pipeline operators; each callable takes
+``(spark, sf_dir)`` and returns a DataFrame.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (omitted for
+ops whose semantics aren't SQL-expressible — those get rows-only
+checks).
+
+Column names and integer types are aligned on both sides; float-valued
+comparisons are avoided (integer cross-multiplication for thresholds,
+rank-only outputs for similarity) so value-hash comparison is exact.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the engine's politeness-budget scheduler (Q1/Q2) over
+    the events stream — per event_type ("domain"), the first 16 events
+    by (ts, event_id) are "fetched this round", exactly the window-rank
+    budget the crawl engine runs every round."""
+    return _q2_politeness_budget(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# crawl-engine operators in SQL-checkable shapes (TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+
+def _f1_dedup_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F1 dedup gate shape: frontier ∖ url_seen as a left-anti join
+    # (orders with no lineitem = "unseen" rows passing the gate)
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey, "left_anti")
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    )
+
+
+def _f5_status_allow_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F5 allow-list filter shape (downloader.go:236-244): reject "bad"
+    # rows unless whitelisted
+    events = _t(spark, sf_dir, "events")
+    return events.filter(
+        (F.col("value") < 300) | F.col("event_type").isin("error", "signup")
+    ).select("event_id", "event_type")
+
+
+def _q1_priority_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q1 priority dequeue shape: top-3 per group by rank
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank")
+    )
+
+
+def _q2_politeness_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q2/Q3 budget-per-round: first 16 rows per domain-analog
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        events.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 16)
+        .select("event_type", "event_id", "rank")
+    )
+
+
+def _a1_metrics_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A1 stats counters as aggregates (stats.go:185-205)
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+def _a3_count_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A3 InfluxDB count-over-time analog
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(F.count("*").alias("n"))
+
+
+def _a6_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A6 seen-set union
+    events = _t(spark, sf_dir, "events").select(F.col("user_id").alias("key"))
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    return events.union(orders).distinct()
+
+
+def _a8_outcome_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A8 per-round outcome metrics shape: grouped counts + exact sums
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+    )
+
+
+def _m1_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # M1/M2 middleware chain shape: ordered column transforms
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.withColumn(
+            # integer cents via floor on the identical double product —
+            # avoids decimal rounding-mode differences across engines
+            "disc_price_cents",
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long"),
+        )
+        .withColumn("is_return", (F.col("l_returnflag") == "R").cast("int"))
+        .filter(F.col("l_quantity") >= 25)
+        .select("l_orderkey", "l_linenumber", "disc_price_cents", "is_return")
+    )
+
+
+def _q8_backpressure_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q8 bounded in-flight: global top-100 by priority analog
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey")
+    )
+
+
+def _agg_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the robots/budget broadcast-join shape: fact ⋈ broadcast(dim)
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators
+# ---------------------------------------------------------------------------
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tegenaria_spark.operators.textdedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _dedup_jaccard_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tegenaria_spark.operators.textdedup import word_jaccard_pairs
+
+    return word_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold_pct=95)
+
+
+def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tegenaria_spark.operators.textdedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n_perm=64, n_bands=16, threshold=0.5
+    )
+    return pairs.select("doc_a", "doc_b")  # rank/pair set only (no floats)
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tegenaria_spark.operators.textdedup import simhash_near_pairs
+
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
+
+
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tegenaria_spark.operators.textstats import quality_stats
+
+    return quality_stats(_t(spark, sf_dir, "documents"))
+
+
+def _text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tegenaria_spark.operators.textstats import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tegenaria_spark.operators.textstats import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+def _doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tegenaria_spark.operators.textstats import doc_fingerprints
+
+    return doc_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tegenaria_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_bruteforce(emb, queries, k=5)
+
+
+def _ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tegenaria_spark.operators.similarity import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_lsh(emb, queries, dim=64, k=5, n_bits=8, n_tables=4)
+
+
+def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tegenaria_spark.operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), min_cosine=0.4).select(
+        "vec_a", "vec_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# crawl-native demos (non-SQL-expressible → rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def _crawl_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tegenaria_spark.functions.canonical import with_canonical, with_fingerprint
+    from tegenaria_spark.schemas import FRONTIER_SCHEMA
+    from tegenaria_spark.sources.synth import SiteConfig, seed_urls
+    from datetime import datetime, timezone
+
+    site = SiteConfig(n_domains=8, pages_per_domain=32)
+    ts0 = datetime.fromtimestamp(1_700_000_000, tz=timezone.utc)
+    rows = [{**r, "next_fetch_time": ts0} for r in seed_urls(site, n_seeds=200)]
+    df = spark.createDataFrame(rows, FRONTIER_SCHEMA)
+    return with_fingerprint(with_canonical(df)).select("ctx_id", "canon_url", "domain", "fp")
+
+
+def _crawl_round_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime, timezone
+
+    from tegenaria_spark.config import EngineConfig
+    from tegenaria_spark.functions.canonical import with_canonical, with_fingerprint
+    from tegenaria_spark.operators.dedup import dedup_gate
+    from tegenaria_spark.operators.schedule import budget_select, robots_gate, split_ready
+    from tegenaria_spark.schemas import (
+        DOMAIN_BUDGET_SCHEMA,
+        FRONTIER_SCHEMA,
+        ROBOTS_SCHEMA,
+        URL_SEEN_SCHEMA,
+    )
+    from tegenaria_spark.sources.synth import SiteConfig, domain_budgets, robots_rules, seed_urls
+
+    cfg = EngineConfig(shuffle_partitions=16)
+    site = SiteConfig(n_domains=8, pages_per_domain=32)
+    ts0 = datetime.fromtimestamp(cfg.epoch_ms / 1000, tz=timezone.utc)
+    rows = [{**r, "next_fetch_time": ts0} for r in seed_urls(site, n_seeds=300)]
+    frontier = with_fingerprint(with_canonical(spark.createDataFrame(rows, FRONTIER_SCHEMA)))
+    frontier = frontier.filter(F.col("valid"))
+    fresh, dups = dedup_gate(frontier, spark.createDataFrame([], URL_SEEN_SCHEMA))
+    robots = spark.createDataFrame(robots_rules(site), ROBOTS_SCHEMA)
+    budgets = spark.createDataFrame(domain_budgets(site, 8), DOMAIN_BUDGET_SCHEMA)
+    ready, _ = split_ready(fresh, 0, cfg)
+    allowed, blocked = robots_gate(ready, robots)
+    selected, deferred = budget_select(allowed, budgets, 0, cfg)
+    return (
+        selected.select("ctx_id", "domain", F.lit("selected").alias("outcome"))
+        .unionByName(deferred.select("ctx_id", "domain", F.lit("deferred").alias("outcome")))
+        .unionByName(blocked.select("ctx_id", "domain", F.lit("robots_blocked").alias("outcome")))
+        .unionByName(dups.select("ctx_id", "domain", F.lit("dup_dropped").alias("outcome")))
+    )
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tegenaria_spark.operators.multimodal import extract_features
+    from tegenaria_spark.sources.synth import SiteConfig, image_record
+
+    site = SiteConfig()
+    rows = [
+        tuple(
+            image_record(f"img-{i:03d}-{i:04d}", f"cap {i}", "png" if i % 2 else "jpeg", site)[k]
+            for k in ("image_id", "bytes", "w", "h", "fmt")
+        )
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int, fmt string")
+    return extract_features(df).select("image_id", "w", "h", "fmt", "phash")
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "f1_dedup_anti_join": _f1_dedup_anti_join,
+        "f5_status_allow_filter": _f5_status_allow_filter,
+        "q1_priority_window_topk": _q1_priority_window_topk,
+        "q2_politeness_budget": _q2_politeness_budget,
+        "q8_backpressure_topk": _q8_backpressure_topk,
+        "a1_metrics_counts": _a1_metrics_counts,
+        "a3_count_over_time": _a3_count_over_time,
+        "a6_union_distinct": _a6_union_distinct,
+        "a8_outcome_rollup": _a8_outcome_rollup,
+        "m1_transform_chain": _m1_transform_chain,
+        "join_broadcast_rollup": _agg_join_broadcast,
+        "dedup_exact": _dedup_exact,
+        "dedup_jaccard_words": _dedup_jaccard_words,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_simhash": _dedup_simhash,
+        "text_quality": _text_quality,
+        "text_lang_id": _text_lang_id,
+        "text_token_counts": _text_token_counts,
+        "doc_fingerprints": _doc_fingerprints,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "ann_cosine_topk_lsh": _ann_cosine_topk_lsh,
+        "embedding_neardup": _embedding_neardup,
+        "crawl_fingerprints": _crawl_fingerprints,
+        "crawl_round_schedule": _crawl_round_schedule,
+        "multimodal_features": _multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_case = (
+        "CASE "
+        "WHEN ' ' || lower(text) || ' ' LIKE '% the %' OR ' ' || lower(text) || ' ' LIKE '% and %' "
+        "OR ' ' || lower(text) || ' ' LIKE '% with %' THEN 'en' "
+        "WHEN ' ' || lower(text) || ' ' LIKE '% le %' OR ' ' || lower(text) || ' ' LIKE '% la %' "
+        "OR ' ' || lower(text) || ' ' LIKE '% les %' THEN 'fr' "
+        "WHEN ' ' || lower(text) || ' ' LIKE '% der %' OR ' ' || lower(text) || ' ' LIKE '% und %' "
+        "OR ' ' || lower(text) || ' ' LIKE '% das %' THEN 'de' "
+        "WHEN ' ' || lower(text) || ' ' LIKE '% el %' OR ' ' || lower(text) || ' ' LIKE '% los %' "
+        "OR ' ' || lower(text) || ' ' LIKE '% una %' THEN 'es' "
+        "ELSE 'other' END"
+    )
+    return {
+        "f1_dedup_anti_join": (
+            "SELECT o_orderkey, o_custkey FROM orders "
+            "WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey) "
+            "ORDER BY o_orderkey"
+        ),
+        "f5_status_allow_filter": (
+            "SELECT event_id, event_type FROM events "
+            "WHERE value < 300 OR event_type IN ('error','signup')"
+        ),
+        "q1_priority_window_topk": (
+            "SELECT o_custkey, o_orderkey, rank FROM ("
+            "  SELECT o_custkey, o_orderkey, "
+            "         row_number() OVER (PARTITION BY o_custkey "
+            "             ORDER BY o_totalprice DESC, o_orderkey ASC)::INT AS rank "
+            "  FROM orders) WHERE rank <= 3"
+        ),
+        "q2_politeness_budget": (
+            "SELECT event_type, event_id, rank FROM ("
+            "  SELECT event_type, event_id, "
+            "         row_number() OVER (PARTITION BY event_type "
+            "             ORDER BY ts ASC, event_id ASC)::INT AS rank "
+            "  FROM events) WHERE rank <= 16"
+        ),
+        "q8_backpressure_topk": (
+            "SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"
+        ),
+        "a1_metrics_counts": (
+            "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+        ),
+        "a3_count_over_time": (
+            "SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "a6_union_distinct": (
+            "SELECT user_id AS key FROM events UNION SELECT o_custkey AS key FROM orders"
+        ),
+        "a8_outcome_rollup": (
+            "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
+            "       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price "
+            "FROM orders GROUP BY 1, 2"
+        ),
+        "m1_transform_chain": (
+            "SELECT l_orderkey, l_linenumber, "
+            "       CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) "
+            "           AS disc_price_cents, "
+            "       (l_returnflag = 'R')::INT AS is_return "
+            "FROM lineitem WHERE l_quantity >= 25"
+        ),
+        "join_broadcast_rollup": (
+            "SELECT c_mktsegment, count(*) AS n_orders, "
+            "       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue "
+            "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1"
+        ),
+        "dedup_exact": (
+            "SELECT min(doc_id) AS kept_doc_id, count(*) AS group_size "
+            "FROM documents GROUP BY text"
+        ),
+        "dedup_jaccard_words": (
+            "WITH words AS ("
+            "  SELECT DISTINCT doc_id, w FROM ("
+            "    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) "
+            "  WHERE w <> ''), "
+            "counts AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id), "
+            "inter AS ("
+            "  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i "
+            "  FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id "
+            "  GROUP BY 1, 2) "
+            "SELECT da AS doc_a, db AS doc_b, i AS n_common, "
+            "       (ca.n + cb.n - i) AS n_union "
+            "FROM inter JOIN counts ca ON da = ca.doc_id JOIN counts cb ON db = cb.doc_id "
+            "WHERE i * 100 >= 95 * (ca.n + cb.n - i)"
+        ),
+        "text_quality": (
+            "SELECT doc_id, length(text) AS n_chars, "
+            "       len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words, "
+            "       length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct, "
+            "       len(list_filter(string_split(text, ' '), "
+            "           x -> lower(x) IN ('the','a','and','of','to'))) AS n_stopwords, "
+            "       len(list_distinct(list_transform("
+            "           list_filter(string_split(text, ' '), x -> x <> ''), x -> lower(x)))) "
+            "           AS n_distinct_words "
+            "FROM documents"
+        ),
+        "text_lang_id": f"SELECT doc_id, {lang_case} AS lang_guess FROM documents",
+        "text_token_counts": (
+            "SELECT doc_id, "
+            "       len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) "
+            "           AS n_ws_tokens, "
+            "       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) "
+            "           AS n_bpe_segments "
+            "FROM documents"
+        ),
+        "ann_cosine_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings "
+            "           WHERE vec_id < 10), "
+            "scored AS ("
+            "  SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "         list_dot_product(q.qvec::DOUBLE[], e.embedding::DOUBLE[]) / "
+            "         (sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[])) * "
+            "          sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) "
+            "             AS cosine "
+            "  FROM embeddings e, q WHERE e.vec_id <> q.query_id) "
+            "SELECT query_id, neighbor_id, rank FROM ("
+            "  SELECT query_id, neighbor_id, "
+            "         row_number() OVER (PARTITION BY query_id "
+            "             ORDER BY cosine DESC, neighbor_id ASC)::INT AS rank "
+            "  FROM scored) WHERE rank <= 5"
+        ),
+        "embedding_neardup": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0 "
+            "  AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+            "      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+            "       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4"
+        ),
+        # dedup_minhash_lsh, dedup_simhash, doc_fingerprints,
+        # ann_cosine_topk_lsh, crawl_*, multimodal_features: rows-only
+        # (hash-seeded / UDF / engine semantics not expressible in SQL)
+    }

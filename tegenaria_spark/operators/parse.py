@@ -103,22 +103,49 @@ def run_parsers(ok: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def assign_enqueue_seq(links: DataFrame, round_no: int, cfg: EngineConfig) -> DataFrame:
-    """Deterministic distributed sequence assignment.
+    """Deterministic distributed sequence assignment (zipWithIndex
+    semantics, Arrow-only implementation).
 
-    Total order = (parent_seq, pos); ``zipWithIndex`` materializes the
-    rank with one lightweight count job and per-partition offsets —
-    O(partitions) driver state, never a single-task sort."""
-    spark = links.sparkSession
-    ordered = links.repartitionByRange(
-        cfg.shuffle_partitions, F.col("parent_seq"), F.col("pos")
-    ).sortWithinPartitions("parent_seq", "pos")
+    Total order = (parent_seq, pos) — unique keys, so the rank is
+    independent of where range partitioning draws its boundaries.  Two
+    passes over the pinned partitioning: (1) per-partition row counts →
+    cumulative offsets (O(partitions) driver state), (2) a mapInPandas
+    that adds ``offset[pid] + running_index``.  No single-task global
+    window, no RDD/pickle round-trip, no nondeterministic
+    ``monotonically_increasing_id``."""
+    ordered = (
+        links.repartitionByRange(cfg.shuffle_partitions, F.col("parent_seq"), F.col("pos"))
+        .sortWithinPartitions("parent_seq", "pos")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # pin the partitioning so both passes see identical pids
+    ordered = ordered.localCheckpoint(eager=True)
+    counts = {
+        r["_pid"]: r["count"] for r in ordered.groupBy("_pid").count().collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
     base = round_no * cfg.seq_stride
-    schema = ordered.schema
-    indexed = ordered.rdd.zipWithIndex().map(lambda t: (*t[0], base + t[1]))
-    from pyspark.sql.types import LongType, StructField, StructType
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in links.schema.fields
+    ) + ", enqueue_seq bigint"
 
-    out_schema = StructType(list(schema.fields) + [StructField("enqueue_seq", LongType(), False)])
-    return spark.createDataFrame(indexed, out_schema)
+    def add_seq(batches):
+        local = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if local is None:
+                local = base + offsets[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.drop(columns=["_pid"])
+            pdf["enqueue_seq"] = range(local, local + len(pdf))
+            local += len(pdf)
+            yield pdf
+
+    return ordered.mapInPandas(add_seq, schema=out_schema)
 
 
 def links_to_candidates(links_with_seq: DataFrame, round_no: int, next_fetch_time_col) -> DataFrame:
