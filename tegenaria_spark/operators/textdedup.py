@@ -248,9 +248,10 @@ def simhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8, **kw) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, block-joined on
-    16-bit chunks (a pair within hamming ≤ 3·16 shares ≥1 exact chunk —
-    the standard pigeonhole blocking; here 4 chunks ⇒ guaranteed recall
-    for hamming ≤ 48, i.e. all practical thresholds)."""
+    16-bit chunks (standard pigeonhole blocking: with 4 chunks, any
+    pair within hamming ≤ 3 is *guaranteed* to share an exact chunk;
+    pairs with larger distance are found only probabilistically — raise
+    the chunk count for a looser guaranteed radius at more join fan-out)."""
     t = simhash_table(docs, **kw)
     chunks = t.select(
         "doc_id",

@@ -1,0 +1,93 @@
+"""Structured Streaming skins over the batch-round engine.
+
+The reference is a continuous pull loop (engine.go:217-247) — an
+unbounded stream with no event-time semantics.  The rebuild's primary
+mode is batch rounds (SURVEY.md §2.6); these wrappers give the same
+round function a streaming surface:
+
+- ``stream_fetch_log_metrics``: a live metrics query over the growing
+  fetch_log directory (file-source stream + stateful aggregation) — the
+  streaming rendering of the reference's stats watcher
+  (stats.go:143-205 + events.go:102-148).
+- ``run_rounds_foreachBatch``: drive crawl rounds from a rate stream —
+  each micro-batch executes one frontier round, so trigger intervals
+  become the reference's round_interval wall-clock pacing.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from tegenaria_spark.schemas import FETCH_LOG_SCHEMA
+
+
+def fetch_log_stream(spark: SparkSession, store_root: str) -> DataFrame:
+    """readStream over the store's fetch_log appends (new round dirs
+    appear as the crawl progresses; the file source picks them up)."""
+    return (
+        spark.readStream.schema(FETCH_LOG_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "64")
+        .parquet(f"{store_root}/logs/fetch_log")
+    )
+
+
+def stream_fetch_log_metrics(
+    spark: SparkSession,
+    store_root: str,
+    checkpoint_dir: str,
+    query_name: str = "fetch_metrics",
+):
+    """Continuous outcome/status counters (stats.go:39-48 as a stateful
+    streaming aggregation).  Complete-mode memory sink: read the live
+    counters with ``spark.sql(f"SELECT * FROM {query_name}")``."""
+    agg = (
+        fetch_log_stream(spark, store_root)
+        .groupBy("outcome")
+        .agg(F.count("*").alias("n"), F.max("round").alias("last_round"))
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_rounds_foreachBatch(
+    engine,
+    max_rounds: int = 10,
+    interval: str = "1 second",
+):
+    """Drive the engine from a rate stream: one round per micro-batch.
+
+    The rate source exists only as a ticker; the round reads its real
+    input from the committed frontier snapshot (same as batch mode), so
+    exactly-once comes from the store's commit markers, not the stream.
+    """
+    spark = engine.spark
+    state = {"round": engine.store.last_committed_round() or 0, "done": False}
+
+    def tick(_batch_df, _batch_id):
+        if state["done"] or state["round"] >= max_rounds:
+            state["done"] = True
+            return
+        r = state["round"]
+        frontier, url_seen = engine._read_state(r)
+        if frontier.isEmpty():
+            state["done"] = True
+            return
+        engine.run_round(r, frontier, url_seen)
+        state["round"] = r + 1
+
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "1")
+        .load()
+        .writeStream.foreachBatch(tick)
+        .trigger(processingTime=interval)
+        .start()
+    )
