@@ -49,6 +49,14 @@ class EngineConfig:
     # --- limits
     max_inflight_per_round: int = 1_048_576   # queue capacity analog (components.go:72)
 
+    # --- observability: which outcomes get per-row fetch_log entries.
+    # The reference only *counts* (stats.go); per-row dup/deferral logs
+    # are a test-scale affordance — production keeps the aggregate
+    # metrics and logs only real fetch attempts.
+    log_outcomes: tuple = (
+        "fetched", "failed", "robots_blocked", "deferred", "dup_dropped", "invalid",
+    )
+
     extra_spark_conf: dict = field(default_factory=dict)
 
     @property

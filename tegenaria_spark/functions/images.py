@@ -81,6 +81,8 @@ def _unfilter(raw: np.ndarray, h: int, w: int) -> np.ndarray:
     """Undo PNG scanline filters (types 0-2 — all this codec emits)."""
     stride = w * 3
     rows = raw.reshape(h, 1 + stride)
+    if not rows[:, 0].any():  # all filter-0 (what png_encode writes): pure reshape
+        return np.ascontiguousarray(rows[:, 1:]).reshape(h, w, 3)
     out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
         ftype = rows[y, 0]

@@ -161,18 +161,22 @@ def dedup_gate(
     kept, batch_dups = dedup_within_batch(candidates)
     filt = kept.filter(~F.col("do_not_filter"))
     bypass = kept.filter(F.col("do_not_filter"))
-    seen = url_seen.select("fp")
+    # one left join with a marker instead of anti+semi twins — fp is
+    # unique in url_seen (each fp registers exactly once), so the join
+    # never fans out and both outputs fall out of a single shuffle
+    seen = url_seen.select("fp").withColumn("_seen", F.lit(True))
 
     if bloom_udf is not None:
         tagged = filt.withColumn("_maybe", bloom_udf(F.col("fp")))
         surely_new = tagged.filter(~F.col("_maybe")).drop("_maybe")
         maybe = tagged.filter(F.col("_maybe")).drop("_maybe")
-        fresh_checked = maybe.join(seen, "fp", "left_anti")
-        dup = maybe.join(seen, "fp", "left_semi")
-        fresh = surely_new.unionByName(fresh_checked)
+        marked = maybe.join(seen, "fp", "left")
+        fresh = surely_new.unionByName(marked.filter(F.col("_seen").isNull()).drop("_seen"))
+        dup = marked.filter(F.col("_seen").isNotNull()).drop("_seen")
     else:
-        fresh = filt.join(seen, "fp", "left_anti")
-        dup = filt.join(seen, "fp", "left_semi")
+        marked = filt.join(seen, "fp", "left")
+        fresh = marked.filter(F.col("_seen").isNull()).drop("_seen")
+        dup = marked.filter(F.col("_seen").isNotNull()).drop("_seen")
 
     return fresh.unionByName(bypass), batch_dups.unionByName(dup)
 

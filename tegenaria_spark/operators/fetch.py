@@ -31,7 +31,7 @@ from tegenaria_spark.sources.synth import SiteConfig, image_record, synth_page
 FETCH_RESULT_COLS = (
     "status INT, final_url STRING, delay DOUBLE, content_length BIGINT, error STRING, "
     "outlinks ARRAY<STRING>, image_id STRING, caption STRING, img_fmt STRING, "
-    "image_bytes BINARY, img_w INT, img_h INT"
+    "image_bytes BINARY, img_w INT, img_h INT, img_phash BIGINT"
 )
 
 
@@ -62,6 +62,7 @@ def simulate_fetch_one(url: str, site: SiteConfig, max_redirects: int) -> dict:
             "image_bytes": None,
             "img_w": None,
             "img_h": None,
+            "img_phash": None,
         }
         if page.status == 0:
             result["error"] = "invalid url"
@@ -70,6 +71,7 @@ def simulate_fetch_one(url: str, site: SiteConfig, max_redirects: int) -> dict:
             result["image_bytes"] = rec["bytes"]
             result["img_w"] = rec["w"]
             result["img_h"] = rec["h"]
+            result["img_phash"] = rec["phash"]
         return result
     # redirect cap exceeded — MaxRedirectError (exceptions.go:61-63)
     return {
@@ -85,6 +87,7 @@ def simulate_fetch_one(url: str, site: SiteConfig, max_redirects: int) -> dict:
         "image_bytes": None,
         "img_w": None,
         "img_h": None,
+        "img_phash": None,
     }
 
 

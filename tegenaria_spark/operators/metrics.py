@@ -14,40 +14,58 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
-def round_metrics(fetch_log: DataFrame, n_items: int, round_no: int) -> DataFrame:
-    """Build metric rows for one round from its fetch_log slice."""
-    attempts = fetch_log.filter(F.col("outcome").isin("fetched", "failed"))
-
-    per_status = (
-        attempts.filter(F.col("status").isNotNull() & (F.col("status") > 0))
-        .groupBy(F.col("status").cast("string").alias("metric"))
-        .agg(F.count("*").alias("value"))
-    )
-    per_outcome = fetch_log.groupBy(
-        F.concat(F.lit("outcome_"), F.col("outcome")).alias("metric")
-    ).agg(F.count("*").alias("value"))
-
-    scalar = attempts.agg(
-        F.count("*").alias("requests"),
-        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
-        F.sum(
-            F.when(
-                F.col("error").isNotNull() & ~F.col("error").startswith("disallowed status"),
-                1,
-            ).otherwise(0)
-        ).alias("download_fail"),
-    )
-    scalar_rows = scalar.selectExpr(
-        "stack(4, 'requests', requests, 'items', cast({} as bigint), "
-        "'errors', errors, 'download_fail', download_fail) as (metric, value)".format(int(n_items))
-    )
-
-    return (
-        scalar_rows.unionByName(per_status)
-        .unionByName(per_outcome)
-        .select(
-            F.lit(round_no).cast("int").alias("round"),
-            F.col("metric"),
-            F.coalesce(F.col("value"), F.lit(0)).cast("long").alias("value"),
+def collect_round_counters(fetch_log: DataFrame) -> tuple[dict, dict]:
+    """One aggregation job over the (checkpointed) round fetch_log:
+    returns (outcome_counts, status_counts) plus error classing — the
+    driver-side inputs for the metrics rows and RoundResult."""
+    rows = (
+        fetch_log.groupBy(
+            "outcome",
+            F.col("status"),
+            F.coalesce(F.col("error").startswith("disallowed status"), F.lit(False)).alias(
+                "_disallowed"
+            ),
         )
+        .count()
+        .collect()
     )
+    outcome_counts: dict[str, int] = {}
+    status_counts: dict[int, int] = {}
+    errors = 0
+    download_fail = 0
+    for row in rows:
+        outcome_counts[row["outcome"]] = outcome_counts.get(row["outcome"], 0) + row["count"]
+        if row["outcome"] in ("fetched", "failed"):
+            if row["status"] is not None and row["status"] > 0:
+                status_counts[row["status"]] = (
+                    status_counts.get(row["status"], 0) + row["count"]
+                )
+            if row["outcome"] == "failed":
+                errors += row["count"]
+                if not row["_disallowed"]:
+                    download_fail += row["count"]
+    outcome_counts["_errors"] = errors
+    outcome_counts["_download_fail"] = download_fail
+    return outcome_counts, status_counts
+
+
+def round_metrics_rows(
+    outcome_counts: dict, status_counts: dict, n_items: int, round_no: int
+) -> list[tuple[int, str, int]]:
+    """Metric rows (stats.go:39-48 keys + per-status + per-outcome)
+    built driver-side from the collected counters — no extra Spark
+    aggregation jobs, identical content."""
+    requests = outcome_counts.get("fetched", 0) + outcome_counts.get("failed", 0)
+    rows = [
+        (round_no, "requests", requests),
+        (round_no, "items", int(n_items)),
+        (round_no, "errors", outcome_counts.get("_errors", 0)),
+        (round_no, "download_fail", outcome_counts.get("_download_fail", 0)),
+    ]
+    rows += [(round_no, str(s), n) for s, n in sorted(status_counts.items())]
+    rows += [
+        (round_no, f"outcome_{o}", n)
+        for o, n in sorted(outcome_counts.items())
+        if not o.startswith("_")
+    ]
+    return rows

@@ -25,7 +25,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from tegenaria_spark.config import EngineConfig
-from tegenaria_spark.functions.images import with_phash
 from tegenaria_spark.schemas import IMAGES_SCHEMA
 
 ParserFn = Callable[[DataFrame], tuple[DataFrame, DataFrame]]
@@ -49,20 +48,19 @@ def register_parser(name: str):
 def image_parser(ok: DataFrame) -> tuple[DataFrame, DataFrame]:
     """The flagship parser (quotes-spider analogue): emit one image
     item per 200-page carrying a payload, and every outlink as a new
-    request candidate.  phash is computed vectorized here — the item
-    table matches the input_hint shape exactly."""
-    items = (
-        ok.filter(F.col("image_id").isNotNull())
-        .select(
-            F.col("image_id"),
-            F.col("image_bytes").alias("bytes"),
-            F.col("img_w").alias("w"),
-            F.col("img_h").alias("h"),
-            F.col("img_fmt").alias("fmt"),
-            F.col("caption"),
-        )
-    )
-    items = with_phash(items).select([f.name for f in IMAGES_SCHEMA.fields])
+    request candidate.  phash rides along from the fetch stage (computed
+    vectorized there, over the stored bytes) — the item table matches
+    the input_hint shape exactly.  ``functions.images.with_phash`` is
+    the standalone vectorized recompute used for store verification."""
+    items = ok.filter(F.col("image_id").isNotNull()).select(
+        F.col("image_id"),
+        F.col("image_bytes").alias("bytes"),
+        F.col("img_w").alias("w"),
+        F.col("img_h").alias("h"),
+        F.col("img_fmt").alias("fmt"),
+        F.col("caption"),
+        F.col("img_phash").alias("phash"),
+    ).select([f.name for f in IMAGES_SCHEMA.fields])
     links = ok.select(
         F.col("enqueue_seq").alias("parent_seq"),
         F.col("priority").alias("parent_priority"),
@@ -77,6 +75,10 @@ def run_parsers(ok: DataFrame) -> tuple[DataFrame, DataFrame]:
     With one registered parser this is a single pass; with many, each
     parser sees only its slice (same effect as the reference's
     per-request reflective dispatch, engine.go:477-479)."""
+    if len(PARSER_REGISTRY) == 1:
+        # fast path: no distinct job — everything routes to the one parser
+        name, fn = next(iter(PARSER_REGISTRY.items()))
+        return fn(ok)
     names = [r["parser"] for r in ok.select("parser").distinct().collect()]
     items_parts: list[DataFrame] = []
     links_parts: list[DataFrame] = []
@@ -102,7 +104,7 @@ def run_parsers(ok: DataFrame) -> tuple[DataFrame, DataFrame]:
     return items, links
 
 
-def assign_enqueue_seq(links: DataFrame, round_no: int, cfg: EngineConfig) -> DataFrame:
+def assign_enqueue_seq(links: DataFrame, round_no: int, cfg: EngineConfig, pin=None) -> DataFrame:
     """Deterministic distributed sequence assignment (zipWithIndex
     semantics, Arrow-only implementation).
 
@@ -118,8 +120,9 @@ def assign_enqueue_seq(links: DataFrame, round_no: int, cfg: EngineConfig) -> Da
         .sortWithinPartitions("parent_seq", "pos")
         .withColumn("_pid", F.spark_partition_id())
     )
-    # pin the partitioning so both passes see identical pids
-    ordered = ordered.localCheckpoint(eager=True)
+    # pin the partitioning so both passes see identical pids; the
+    # caller's `pin` registers the block for unpersist at round end
+    ordered = pin(ordered) if pin is not None else ordered.localCheckpoint(eager=True)
     counts = {
         r["_pid"]: r["count"] for r in ordered.groupBy("_pid").count().collect()
     }
@@ -182,6 +185,8 @@ def retry_candidates(failed: DataFrame, round_no: int, cfg: EngineConfig, next_f
         "ctx_id", "url", "method", "headers", "body", "params", "meta", "parser",
         "do_not_filter", "allow_status", "priority", "enqueue_seq",
         "next_fetch_time", "retries", "round_added",
+        # scheduling state already computed pre-fetch — no recanonicalization
+        "canon_url", "domain", "fp",
     ]
     return (
         failed.filter(F.col("retries") < cfg.max_retries)

@@ -110,6 +110,35 @@ def budget_select(
     return selected, deferred
 
 
+def schedule_round(
+    frontier: DataFrame,
+    robots: DataFrame,
+    domain_budget: DataFrame,
+    round_no: int,
+    cfg: EngineConfig,
+) -> DataFrame:
+    """The whole scheduling decision as ONE pass over the frontier.
+
+    Adds a ``sched`` column ∈ {selected, deferred, robots_blocked,
+    sleeping} and advances ``next_fetch_time`` for deferred rows.  The
+    caller checkpoints the result once and slices by ``sched`` — the
+    budget window (the round's main shuffle) runs exactly once instead
+    of once per consumer (selected/deferred/frontier-rewrite)."""
+    ready, sleeping = split_ready(frontier, round_no, cfg)
+    if robots is None:
+        # no rules registered — skip the broadcast join entirely
+        allowed, blocked = ready, ready.limit(0)
+    else:
+        allowed, blocked = robots_gate(ready, robots)
+    selected, deferred = budget_select(allowed, domain_budget, round_no, cfg)
+    return (
+        selected.withColumn("sched", F.lit("selected"))
+        .unionByName(deferred.withColumn("sched", F.lit("deferred")))
+        .unionByName(blocked.withColumn("sched", F.lit("robots_blocked")))
+        .unionByName(sleeping.withColumn("sched", F.lit("sleeping")))
+    )
+
+
 def salt_for_fetch(selected: DataFrame, cfg: EngineConfig) -> DataFrame:
     """Explicit hot-domain kill: spread each domain over S fetch tasks.
 

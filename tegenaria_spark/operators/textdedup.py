@@ -55,10 +55,19 @@ def word_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-dup pairs by word-set Jaccard ≥ threshold_pct/100.
+    """Near-dup pairs by word-set Jaccard ≥ threshold_pct/100 — EXACT,
+    via prefix filtering (PPJoin-style).
 
-    The comparison is integer cross-multiplied (i·100 ≥ t·(na+nb−i)) so
-    engine and SQL oracle agree exactly — no float boundary cases.
+    Candidate generation joins only each document's *prefix* tokens —
+    the first ``n − ⌈t·n⌉ + 1`` under a global (doc-frequency asc,
+    token) order.  Standard guarantee: two sets with Jaccard ≥ t must
+    share at least one prefix token under the same global order, so no
+    pair is missed; a token shared by every document (e.g. "the") never
+    generates the O(N²) candidate explosion the naive token join does.
+    Candidates are then verified on their FULL token sets, so results
+    are identical to the naive join (the DuckDB oracle runs the naive
+    form).  Comparison is integer cross-multiplied (i·100 ≥
+    t·(na+nb−i)) — no float boundary cases.
     """
     words = (
         docs.select(
@@ -68,12 +77,30 @@ def word_jaccard_pairs(
         .filter(F.col("w") != "")
         .distinct()
     )
+    words = words.localCheckpoint(eager=False)  # reused 4× below
     counts = words.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = words.select(F.col("doc_id").alias("da"), "w")
-    b = words.select(F.col("doc_id").alias("db"), "w")
-    inter = (
-        a.join(b, "w")
+    doc_freq = words.groupBy("w").agg(F.count("*").alias("df"))
+
+    order = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("w").asc())
+    ranked = (
+        words.join(doc_freq, "w")
+        .withColumn("_rn", F.row_number().over(order))
+        .join(counts, "doc_id")
+    )
+    prefix_len = F.col("n") - F.ceil(F.col("n") * threshold_pct / 100) + 1
+    prefix = ranked.filter(F.col("_rn") <= prefix_len).select("doc_id", "w")
+
+    cands = (
+        prefix.select(F.col("doc_id").alias("da"), "w")
+        .join(prefix.select(F.col("doc_id").alias("db"), "w"), "w")
         .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    # exact verification on full token sets, restricted to candidates
+    inter = (
+        cands.join(words.select(F.col("doc_id").alias("da"), "w"), "da")
+        .join(words.select(F.col("doc_id").alias("db"), "w"), ["db", "w"])
         .groupBy("da", "db")
         .agg(F.count("*").alias("i"))
     )
@@ -108,32 +135,33 @@ def _minhash_params(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _shingle_hashes(t: str, k: int) -> np.ndarray:
+    """Distinct rolling-polynomial hashes of the char k-shingles of *t*,
+    fully numpy-vectorized (k shifted fused multiply-adds over the byte
+    array — no per-shingle Python).  Deterministic everywhere."""
+    data = np.frombuffer((t or "\x00").encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    if len(data) < k:
+        data = np.pad(data, (0, k - len(data)), constant_values=0)
+    n = len(data) - k + 1
+    p = np.uint64(1099511628211)  # FNV prime as the polynomial base
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * p + data[j : j + n]  # wrapping uint64 mul — deterministic
+    return np.unique(acc & np.uint64((1 << 61) - 1))
+
+
 def minhash_signature_udf(n_perm: int = 64, shingle_k: int = 3, seed: int = 42):
-    """Vectorized MinHash over character k-shingles.
-
-    Shingle hashing uses Python's xxh64 twin so the whole operator is
-    deterministic and reproducible anywhere (no env-dependent hash()).
-    """
-    from tegenaria_spark.functions.xxh64 import xxh64_unsigned
-
+    """Vectorized MinHash over character k-shingles:
+    sig_j = min over shingles of (a_j·h + b_j) mod Mersenne61."""
     a, b = _minhash_params(n_perm, seed)
 
     @pandas_udf(ArrayType(LongType()))
     def signature(texts: pd.Series) -> pd.Series:
         out = []
+        m = np.uint64(_MERSENNE)
         for t in texts:
-            t = t or ""
-            if len(t) < shingle_k:
-                shingles = {t}
-            else:
-                shingles = {t[i : i + shingle_k] for i in range(len(t) - shingle_k + 1)}
-            hv = np.fromiter(
-                (xxh64_unsigned(s.encode("utf-8")) & ((1 << 61) - 1) for s in shingles),
-                dtype=np.uint64,
-                count=len(shingles),
-            )
-            # sig_j = min over shingles of (a_j*h + b_j) mod mersenne61
-            sig = ((a[:, None] * hv[None, :] + b[:, None]) % np.uint64(_MERSENNE)).min(axis=1)
+            hv = _shingle_hashes(t, shingle_k)
+            sig = ((a[:, None] * hv[None, :] + b[:, None]) % m).min(axis=1)
             out.append(sig.astype(np.int64).tolist())
         return pd.Series(out)
 
@@ -158,10 +186,14 @@ def minhash_lsh_pairs(
     rows_per_band = n_perm // n_bands
     sig_udf = minhash_signature_udf(n_perm, shingle_k, seed)
     sigs = docs.select(F.col(id_col).alias("doc_id"), sig_udf(F.col(text_col)).alias("sig"))
+    # signatures feed the band explode AND the verify join — pin once
+    sigs = sigs.localCheckpoint(eager=False)
 
+    # the band join carries ONLY (doc_id, band, bucket) — signatures are
+    # fixed-width but 64×8B each; shipping them through the candidate
+    # shuffle multiplies it by n_bands for nothing
     bands = sigs.select(
         "doc_id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -181,25 +213,24 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    left = bands.select(
-        F.col("doc_id").alias("da"), F.col("sig").alias("sig_a"), "band", "bucket"
-    )
-    right = bands.select(
-        F.col("doc_id").alias("db"), F.col("sig").alias("sig_b"), "band", "bucket"
-    )
     cands = (
-        left.join(right, ["band", "bucket"])
+        bands.select(F.col("doc_id").alias("da"), "band", "bucket")
+        .join(bands.select(F.col("doc_id").alias("db"), "band", "bucket"), ["band", "bucket"])
         .filter(F.col("da") < F.col("db"))
-        .select("da", "db", "sig_a", "sig_b")
-        .dropDuplicates(["da", "db"])
+        .select("da", "db")
+        .distinct()
     )
+    # verify: join the (small, pinned) signature table back per side
+    paired = cands.join(
+        sigs.select(F.col("doc_id").alias("da"), F.col("sig").alias("sig_a")), "da"
+    ).join(sigs.select(F.col("doc_id").alias("db"), F.col("sig").alias("sig_b")), "db")
     agree = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
     )
     return (
-        cands.withColumn("est_jaccard", agree / F.lit(n_perm))
+        paired.withColumn("est_jaccard", agree / F.lit(n_perm))
         .filter(F.col("est_jaccard") >= threshold)
         .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"), "est_jaccard")
     )

@@ -45,7 +45,7 @@ from tegenaria_spark.operators.dedup import (
     url_seen_delta,
 )
 from tegenaria_spark.operators.fetch import check_status, fetch_stage
-from tegenaria_spark.operators.metrics import round_metrics
+from tegenaria_spark.operators.metrics import collect_round_counters, round_metrics_rows
 from tegenaria_spark.operators.parse import (
     assign_enqueue_seq,
     links_to_candidates,
@@ -53,17 +53,17 @@ from tegenaria_spark.operators.parse import (
     run_parsers,
 )
 from tegenaria_spark.operators.schedule import (
-    budget_select,
-    robots_gate,
     round_ts_expr,
     salt_for_fetch,
-    split_ready,
+    schedule_round,
 )
 from tegenaria_spark.schemas import (
     DOMAIN_BUDGET_SCHEMA,
     FETCH_LOG_SCHEMA,
     FRONTIER_SCHEMA,
+    METRICS_SCHEMA,
     ROBOTS_SCHEMA,
+    URL_SEEN_SCHEMA,
 )
 from tegenaria_spark.sources.store import LocalSnapshotStore
 from tegenaria_spark.sources.synth import SiteConfig
@@ -103,6 +103,7 @@ class RoundResult:
     frontier_size: int
     wall_s: float
     snapshot_id: str = ""
+    timings: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -140,32 +141,47 @@ class CrawlEngine:
         self.store = store
         self.site = site
         self.cfg = cfg
+        # None ⇒ schedule_round skips the robots join (no rules at all)
         self.robots = (
-            spark.createDataFrame(robots_rows, ROBOTS_SCHEMA)
-            if robots_rows
-            else spark.createDataFrame([], ROBOTS_SCHEMA)
+            spark.createDataFrame(robots_rows, ROBOTS_SCHEMA) if robots_rows else None
         )
         self.budgets = (
             spark.createDataFrame(budget_rows, DOMAIN_BUDGET_SCHEMA)
             if budget_rows
             else spark.createDataFrame([], DOMAIN_BUDGET_SCHEMA)
         )
+        self._seen_cache = None
+        self._seen_cache_round = -1
 
     # ------------------------------------------------------------------
     # bootstrap: seeds pass the same dedup gate as outlinks (S1 → S2)
     # ------------------------------------------------------------------
 
-    def bootstrap(self, seed_rows: list[dict]) -> None:
+    def bootstrap(self, seed_rows) -> None:
+        """Seeds pass the same gate as outlinks.  Accepts a list of row
+        dicts (tests/parity) or a pre-built DataFrame (the distributed
+        generator, ``sources.synth.seed_frontier_df``)."""
         cfg = self.cfg
-        ts0 = datetime.fromtimestamp(cfg.epoch_ms / 1000, tz=timezone.utc)
-        seeds = self.spark.createDataFrame(
-            [{**r, "next_fetch_time": ts0} for r in seed_rows], FRONTIER_SCHEMA
-        )
+        if isinstance(seed_rows, DataFrame):
+            seeds = seed_rows.withColumn("next_fetch_time", round_ts_expr(0, cfg)).select(
+                *[f.name for f in FRONTIER_SCHEMA.fields]
+            )
+            n_seeds = -1
+        else:
+            ts0 = datetime.fromtimestamp(cfg.epoch_ms / 1000, tz=timezone.utc)
+            seeds = self.spark.createDataFrame(
+                [{**r, "next_fetch_time": ts0} for r in seed_rows], FRONTIER_SCHEMA
+            )
+            n_seeds = len(seed_rows)
         cand = with_fingerprint(with_canonical(seeds))
+        # three commit writers consume these — pin before they race
+        cand = cand.localCheckpoint(eager=True)
         invalid = cand.filter(~F.col("valid"))
         cand = cand.filter(F.col("valid"))
         empty_seen = self.store.read_url_seen(-1)
         fresh, dups = dedup_gate(cand, empty_seen)
+        fresh = fresh.localCheckpoint(eager=True)
+        pins = [cand, fresh]
         seen = url_seen_delta(fresh, 0)
         frontier = fresh.select(*FRONTIER_COLS, "canon_url", "domain", "fp")
         fetch_log = _log_rows(dups, 0, "dup_dropped").unionByName(
@@ -176,35 +192,79 @@ class CrawlEngine:
             frontier,
             seen,
             {"fetch_log": fetch_log},
-            {"phase": "bootstrap", "n_seeds": len(seed_rows)},
+            {"phase": "bootstrap", "n_seeds": n_seeds},
         )
+        for df in pins:
+            df.unpersist()
 
     # ------------------------------------------------------------------
 
     def _read_state(self, r: int) -> tuple[DataFrame, DataFrame]:
+        """Frontier from the round's snapshot; url_seen from the hot
+        in-memory cache (append-only set — re-reading every delta dir
+        each round would be O(rounds²) file opens).  The cache is
+        rebuilt from the store on first use, so resume still works."""
         frontier_raw = self.spark.read.parquet(self.store._state_path("frontier", r))
-        url_seen = self.store.read_url_seen(r)
-        return frontier_raw, url_seen
+        if self._seen_cache is None or self._seen_cache_round > r:
+            self._seen_cache = self.store.read_url_seen(r).persist()
+            self._seen_cache_round = r
+        return frontier_raw, self._seen_cache
+
+    def _advance_seen_cache(self, r: int) -> None:
+        """Union the round's committed delta (read back from the store —
+        file-backed lineage, safe after round checkpoints unpersist)."""
+        delta = self.spark.read.schema(URL_SEEN_SCHEMA).parquet(
+            self.store._state_path("url_seen", r)
+        )
+        old = self._seen_cache
+        self._seen_cache = (
+            old.unionByName(delta).persist() if old is not None else delta.persist()
+        )
+        self._seen_cache_round = r
 
     def run_round(self, r: int, frontier: DataFrame, url_seen: DataFrame) -> RoundResult:
         cfg, site = self.cfg, self.site
         t0 = time.time()
+        timings: dict[str, float] = {}
+        pins: list[DataFrame] = []
 
-        ready, sleeping = split_ready(frontier, r, cfg)
-        allowed, blocked = robots_gate(ready, self.robots)
-        selected, deferred = budget_select(allowed, self.budgets, r, cfg)
+        def pin(df: DataFrame) -> DataFrame:
+            """Eager localCheckpoint registered for unpersist at round
+            end — leaked checkpoint blocks otherwise accumulate across
+            rounds until storage eviction + GC churn wreck throughput."""
+            out = df.localCheckpoint(eager=True)
+            pins.append(out)
+            return out
+
+        def mark(name: str) -> None:
+            now = time.time()
+            timings[name] = round(now - (t0 + sum(timings.values())), 3)
+
+        decided = schedule_round(frontier, self.robots, self.budgets, r, cfg)
+        decided = pin(decided)  # budget window runs once
+        selected = decided.filter(F.col("sched") == "selected").drop("sched")
+        deferred = decided.filter(F.col("sched") == "deferred").drop("sched")
+        blocked = decided.filter(F.col("sched") == "robots_blocked").drop("sched")
+        sleeping = decided.filter(F.col("sched") == "sleeping").drop("sched")
+        mark("schedule")
 
         fetched = check_status(fetch_stage(salt_for_fetch(selected, cfg), site, cfg))
-        fetched = fetched.localCheckpoint(eager=True)  # cut lineage; fetch runs once
+        fetched = pin(fetched)  # cut lineage; fetch runs once
+        mark("fetch")
         ok = fetched.filter(F.col("error").isNull())
         failed = fetched.filter(F.col("error").isNotNull())
 
         items, links = run_parsers(ok)
-        links_seq = assign_enqueue_seq(links, r + 1, cfg)
+        links_seq = assign_enqueue_seq(links, r + 1, cfg, pin=pin)
+        mark("parse_seq")
         next_ts = round_ts_expr(r + 1, cfg)
         candidates = with_fingerprint(
             with_canonical(links_to_candidates(links_seq, r, next_ts))
         )
+        # candidates feed invalid-log, dup-log, fresh, url_seen, frontier —
+        # pin EAGERLY: the commit writes run concurrently, and two jobs
+        # racing a lazy checkpoint both recompute the canonicalize UDF
+        candidates = pin(candidates)
         invalid = candidates.filter(~F.col("valid"))
         candidates = candidates.filter(F.col("valid"))
 
@@ -213,10 +273,12 @@ class CrawlEngine:
             bloom = build_bloom(url_seen, cfg.bloom_n, cfg.bloom_p)
             bloom_udf = bloom_maybe_seen_udf(self.spark, bloom)
         fresh, dups = dedup_gate(candidates, url_seen, bloom_udf)
+        # fresh feeds three sinks (frontier, url_seen, logs) that run as
+        # concurrent commit jobs — eager pin, or they race the compute
+        fresh = pin(fresh)
         seen_delta = url_seen_delta(fresh, r + 1)
 
         retries = retry_candidates(failed, r, cfg, next_ts)
-        retries = with_fingerprint(with_canonical(retries))
 
         state_cols = FRONTIER_COLS + ["canon_url", "domain", "fp"]
         new_frontier = (
@@ -226,24 +288,32 @@ class CrawlEngine:
             .unionByName(retries.select(*state_cols))
         )
 
-        fetch_log = (
-            _log_rows(ok, r, "fetched")
-            .unionByName(_log_rows(failed, r, "failed"))
-            .unionByName(_log_rows(blocked, r, "robots_blocked"))
-            .unionByName(_log_rows(deferred, r, "deferred"))
-            .unionByName(_log_rows(dups, r, "dup_dropped"))
-            .unionByName(_log_rows(invalid, r, "invalid"))
-            .select([f.name for f in FETCH_LOG_SCHEMA.fields])
-        )
-        fetch_log = fetch_log.localCheckpoint(eager=True)
+        log_parts = {
+            "fetched": ok,
+            "failed": failed,
+            "robots_blocked": blocked,
+            "deferred": deferred,
+            "dup_dropped": dups,
+            "invalid": invalid,
+        }
+        branches = [
+            _log_rows(df, r, outcome)
+            for outcome, df in log_parts.items()
+            if outcome in cfg.log_outcomes
+        ]
+        fetch_log = branches[0]
+        for b in branches[1:]:
+            fetch_log = fetch_log.unionByName(b)
+        fetch_log = fetch_log.select([f.name for f in FETCH_LOG_SCHEMA.fields])
+        fetch_log = pin(fetch_log)
+        mark("dedup_log")
 
         n_items = items.count()
-        metrics = round_metrics(fetch_log, n_items, r)
-
-        counts = {
-            row["outcome"]: row["count"]
-            for row in fetch_log.groupBy("outcome").count().collect()
-        }
+        counts, status_counts = collect_round_counters(fetch_log)
+        metrics = self.spark.createDataFrame(
+            round_metrics_rows(counts, status_counts, n_items, r), METRICS_SCHEMA
+        )
+        mark("counts")
         snapshot_id, table_counts = self.store.commit_round(
             r + 1,
             new_frontier,
@@ -252,6 +322,10 @@ class CrawlEngine:
             {"phase": "round", "round": r, "outcomes": counts},
         )
         frontier_size = table_counts.get("frontier", 0)
+        self._advance_seen_cache(r + 1)
+        for df in pins:
+            df.unpersist()
+        mark("commit")
 
         return RoundResult(
             round_no=r,
@@ -266,6 +340,7 @@ class CrawlEngine:
             frontier_size=frontier_size,
             wall_s=time.time() - t0,
             snapshot_id=snapshot_id,
+            timings=timings,
         )
 
     def run(

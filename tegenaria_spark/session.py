@@ -37,6 +37,23 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # VM entropy pools starve SecureRandom: every python-worker
+        # (re)spawn calls Utils.createSecret, which blocks for seconds
+        # on /dev/random when entropy_avail is low — tasks stall at
+        # near-zero CPU.  /dev/./urandom is the standard JVM fix.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Djava.security.egd=file:/dev/./urandom",
+        )
+        # keep the pandas-UDF worker pool warm: jstack showed task
+        # threads stuck in ProcessImpl.forkAndExec + createSecret —
+        # python workers were being reaped and respawned mid-round.
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.python.worker.killOnIdleTimeout", "false")
+        .config("spark.python.factory.idleWorkerMaxPoolSize", "96")
+        # unix domain sockets skip the TCP+auth-secret handshake per
+        # worker attach entirely
+        .config("spark.python.unix.domain.socket.enabled", "true")
     )
     for k, v in config.extra_spark_conf.items():
         builder = builder.config(k, v)

@@ -98,25 +98,50 @@ class LocalSnapshotStore:
         snapshot_id = f"snap-{r}-{uuid.uuid4().hex[:12]}"
         lineage_rows = []
 
+        write_times: dict[str, float] = {}
+
         def write(df: DataFrame, path: str, table: str) -> None:
+            import time as _time
+
+            _t0 = _time.time()
             if os.path.exists(path):
                 shutil.rmtree(path)  # orphan from a crashed attempt
             df.write.mode("overwrite").parquet(path)
-            counts = (
-                self.spark.read.parquet(path)
-                .groupBy(F.spark_partition_id().alias("partition_id"))
-                .count()
-                .collect()
-            )
-            for row in counts:
-                lineage_rows.append(
-                    (r, table, int(row["partition_id"]), snapshot_id, int(row["count"]))
-                )
+            write_times[table] = round(_time.time() - _t0, 2)
+            # per-partition lineage from parquet footers — a pure
+            # metadata read (the manifest scan Iceberg would give us),
+            # zero Spark jobs
+            import pyarrow.parquet as pq
 
-        write(frontier, self._state_path("frontier", r), "frontier")
-        write(url_seen_delta, self._state_path("url_seen", r), "url_seen")
-        for name, df in logs.items():
-            write(df, self._log_path(name, r), name)
+            parts = sorted(
+                f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".parquet")
+            )
+            rows = []
+            for pid, fname in enumerate(parts):
+                n = pq.ParquetFile(os.path.join(path, fname)).metadata.num_rows
+                rows.append((r, table, pid, snapshot_id, int(n)))
+            with _lineage_lock:
+                lineage_rows.extend(rows)
+
+        # concurrent writes: Spark schedules jobs from multiple driver
+        # threads, so commit wall time is the slowest table, not the sum
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        _lineage_lock = threading.Lock()
+        jobs = [(frontier, self._state_path("frontier", r), "frontier"),
+                (url_seen_delta, self._state_path("url_seen", r), "url_seen")]
+        jobs += [(df, self._log_path(name, r), name) for name, df in logs.items()]
+        max_workers = int(os.environ.get("TEGENARIA_COMMIT_THREADS", str(len(jobs))))
+        if max_workers <= 1:
+            for j in jobs:
+                write(*j)
+        else:
+            with ThreadPoolExecutor(max_workers=max_workers) as pool:
+                futures = [pool.submit(write, *j) for j in jobs]
+                for f in futures:
+                    f.result()
+        lineage_rows.sort(key=lambda t: (t[1], t[2]))
 
         lineage = self.spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA)
         lineage.write.mode("overwrite").parquet(self._log_path("lineage", r))
@@ -134,6 +159,7 @@ class LocalSnapshotStore:
         for _, table, _, _, n in lineage_rows:
             table_counts[table] = table_counts.get(table, 0) + n
         marker["row_counts"] = table_counts
+        marker["write_times"] = write_times
 
         tmp = os.path.join(self.root, "commits", f".round-{r}.json.tmp")
         final = os.path.join(self.root, "commits", f"round-{r}.json")

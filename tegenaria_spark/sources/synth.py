@@ -40,6 +40,7 @@ class SiteConfig:
     redirect_ratio: float = 0.05
     error_ratio: float = 0.06     # 403/404/500 mix
     zipf_a: float = 1.3           # domain popularity skew
+    img_scale: int = 1            # multiplies image dimensions (bench knob)
 
     def domain(self, k: int) -> str:
         return f"d{k:03d}.example.test"
@@ -134,18 +135,22 @@ def image_pixels(image_id: str, cfg: SiteConfig) -> np.ndarray:
     """Deterministic pixel array for an image_id: seeded gradient + noise."""
     h = xxh64_unsigned(f"img:{cfg.seed}:{image_id}".encode())
     rng = np.random.RandomState(h % (2**31))
-    hgt = 24 + h % 41
-    wid = 24 + (h >> 8) % 41
-    yy, xx = np.mgrid[0:hgt, 0:wid]
-    base = np.stack(
-        [
-            (xx * 255 / max(wid - 1, 1)),
-            (yy * 255 / max(hgt - 1, 1)),
-            ((xx + yy) * 127 / max(wid + hgt - 2, 1)),
-        ],
-        axis=-1,
-    )
-    noise = rng.randint(-20, 21, size=(hgt, wid, 3))
+    hgt = (24 + h % 41) * cfg.img_scale
+    wid = (24 + (h >> 8) % 41) * cfg.img_scale
+    # int16 ramps instead of float64 mgrid: ~8× less memory traffic per
+    # image, which is what keeps 32 parallel fetch workers off the
+    # memory-bandwidth wall
+    xr = ((np.arange(wid, dtype=np.int32) * 255) // max(wid - 1, 1)).astype(np.int16)
+    yr = ((np.arange(hgt, dtype=np.int32) * 255) // max(hgt - 1, 1)).astype(np.int16)
+    dr = (
+        (np.add.outer(np.arange(hgt, dtype=np.int32), np.arange(wid, dtype=np.int32)) * 127)
+        // max(wid + hgt - 2, 1)
+    ).astype(np.int16)
+    base = np.empty((hgt, wid, 3), dtype=np.int16)
+    base[:, :, 0] = xr[None, :]
+    base[:, :, 1] = yr[:, None]
+    base[:, :, 2] = dr
+    noise = rng.randint(-20, 21, size=(hgt, wid, 3)).astype(np.int16)
     return np.clip(base + noise, 0, 255).astype(np.uint8)
 
 
@@ -206,6 +211,47 @@ def seed_urls(cfg: SiteConfig, n_seeds: int, dup_ratio: float = 0.2, seed: int =
             }
         )
     return rows
+
+
+def seed_frontier_df(spark, cfg: SiteConfig, n_seeds: int, default_budget: int = 16):
+    """Distributed seed generator: ``spark.range`` + hash expressions —
+    no driver-side row loop, no createDataFrame serialization.  Used by
+    the bench (the parity tests keep the Python ``seed_urls`` twin).
+
+    Domain skew: u² inverse-CDF over the hash-uniform draw concentrates
+    seeds on low domain indexes (the hot-domain shape Zipf gives)."""
+    import pyspark.sql.functions as F
+
+    d = cfg.n_domains
+    p = cfg.pages_per_domain
+    u = (F.abs(F.xxhash64(F.col("id"))) % 1_000_000) / 1_000_000.0
+    domain_idx = F.floor(u * u * d).cast("int")
+    page_idx = (F.abs(F.xxhash64(F.col("id"), F.lit("p"))) % p).cast("int")
+    url = F.concat(
+        F.lit("http://d"),
+        F.lpad(domain_idx.cast("string"), 3, "0"),
+        F.lit(".example.test/p/"),
+        page_idx.cast("string"),
+        F.lit("?id="),
+        page_idx.cast("string"),
+        F.lit("&v=1"),
+    )
+    return spark.range(n_seeds).select(
+        F.concat(F.lit("seed-"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("ctx_id"),
+        url.alias("url"),
+        F.lit("GET").alias("method"),
+        F.create_map(F.lit("User-Agent"), F.lit("tegenaria-spark/0.1")).alias("headers"),
+        F.lit(None).cast("binary").alias("body"),
+        F.lit(None).cast("map<string,string>").alias("params"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+        F.lit("image_parser").alias("parser"),
+        F.lit(False).alias("do_not_filter"),
+        F.lit([]).cast("array<int>").alias("allow_status"),
+        (F.abs(F.xxhash64(F.col("id"), F.lit("prio"))) % 3).cast("int").alias("priority"),
+        F.col("id").alias("enqueue_seq"),
+        F.lit(0).cast("int").alias("retries"),
+        F.lit(0).cast("int").alias("round_added"),
+    )
 
 
 def robots_rules(cfg: SiteConfig) -> list[dict]:
