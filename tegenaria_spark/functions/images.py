@@ -165,25 +165,38 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 _DCT_N = 32
 _k = np.arange(_DCT_N)
 _DCT_MAT = np.cos(np.pi * (2 * _k[None, :] + 1) * _k[:, None] / (2 * _DCT_N))
+# fixed-point DCT basis: the hash pipeline is INTEGER-EXACT end to end.
+# Float reductions in numpy are alignment/SIMD-order dependent, so the
+# same pixels can hash differently in driver vs executor processes when
+# a coefficient lands within float-jitter of the median (observed: one
+# coefficient 1e-9 from the median flipped bits between processes).
+# Integer addition is associative — any summation order gives the same
+# bits everywhere.  Magnitudes: |A|≤2^15, gray≤255·1000<2^18, two
+# 32-length contractions add 2·(15+5) bits → <2^58, no int64 overflow.
+_DCT_FIX = np.round(_DCT_MAT * (1 << 15)).astype(np.int64)
 
 
-def _resize_gray_32(pixels: np.ndarray) -> np.ndarray:
-    """Grayscale + area-ish resample to 32×32 via index mapping."""
-    gray = (
-        0.299 * pixels[..., 0] + 0.587 * pixels[..., 1] + 0.114 * pixels[..., 2]
-    ).astype(np.float64)
+def _resize_gray_32_int(pixels: np.ndarray) -> np.ndarray:
+    """Integer grayscale (×1000) + exact index-mapped resample to 32×32."""
+    p = pixels.astype(np.int64)
+    gray = 299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]
     h, w = gray.shape
     yi = (np.arange(_DCT_N) * h // _DCT_N).clip(0, h - 1)
     xi = (np.arange(_DCT_N) * w // _DCT_N).clip(0, w - 1)
     return gray[np.ix_(yi, xi)]
 
 
+def _dct_block8(g_int: np.ndarray) -> np.ndarray:
+    """Top-left 8×8 of the 2-D DCT-II in exact int64 fixed-point."""
+    a8 = _DCT_FIX[:8]  # (8, 32)
+    return a8 @ g_int @ a8.T  # int64 matmul — exact, no BLAS
+
+
 def phash64(pixels: np.ndarray) -> int:
     """64-bit pHash as signed int64 (two's complement for the LongType column)."""
-    g = _resize_gray_32(pixels)
-    dct = _DCT_MAT @ g @ _DCT_MAT.T
-    block = dct[:8, :8].flatten()
-    med = np.median(block[1:])  # skip DC term
+    g = _resize_gray_32_int(pixels)
+    block = _dct_block8(g).flatten()
+    med = np.median(block[1:])  # median of ints: exact halves at worst
     bits = (block > med).astype(np.uint64)
     val = np.uint64(0)
     for b in bits:

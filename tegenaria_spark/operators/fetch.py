@@ -102,6 +102,12 @@ def fetch_stage(selected: DataFrame, site: SiteConfig, cfg: EngineConfig) -> Dat
         for pdf in batches:
             results = [simulate_fetch_one(u, site, max_redirects) for u in pdf["url"]]
             res = pd.DataFrame(results)
+            # a batch mixing None with int64 coerces to float64, and a
+            # 64-bit hash silently loses its low 11 bits to the float
+            # mantissa — keep the hash column nullable-Int64
+            res["img_phash"] = pd.array(
+                [r["img_phash"] for r in results], dtype="Int64"
+            )
             for col in res.columns:
                 pdf[col] = res[col].values
             yield pdf
