@@ -73,7 +73,11 @@ def run_crawl(master: str, cpus: int) -> dict:
 
     budget = 128
     cfg = EngineConfig(
-        shuffle_partitions=max(8, cpus * 2),
+        # partitioning is a property of the DATA, not the cluster size:
+        # both parallelism levels run the identical plan with identical
+        # partition counts — only executor slots differ (the same way a
+        # real N vs 4N cluster comparison holds the dataset layout fixed)
+        shuffle_partitions=32,
         domain_salt_width=2,
         default_budget_per_round=budget,
         bloom_min_seen=1 << 62,  # bloom off for the bench: seen-set fits the anti-join

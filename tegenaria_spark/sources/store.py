@@ -99,6 +99,7 @@ class LocalSnapshotStore:
         lineage_rows = []
 
         write_times: dict[str, float] = {}
+        max_files = int(os.environ.get("TEGENARIA_COMMIT_MAX_FILES", "16"))
 
         def write(df: DataFrame, path: str, table: str) -> None:
             import time as _time
@@ -106,6 +107,11 @@ class LocalSnapshotStore:
             _t0 = _time.time()
             if os.path.exists(path):
                 shutil.rmtree(path)  # orphan from a crashed attempt
+            # unions of checkpointed branches accumulate partitions
+            # (hundreds of tiny files/tasks per write otherwise);
+            # coalesce is shuffle-free over pinned blocks
+            if df.rdd.getNumPartitions() > max_files:
+                df = df.coalesce(max_files)
             df.write.mode("overwrite").parquet(path)
             write_times[table] = round(_time.time() - _t0, 2)
             # per-partition lineage from parquet footers — a pure

@@ -1,0 +1,35 @@
+"""Structured Streaming skins over the engine's stores."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+
+from tegenaria_spark.config import EngineConfig
+from tegenaria_spark.plans.engine import CrawlEngine
+from tegenaria_spark.sources.store import LocalSnapshotStore
+from tegenaria_spark.sources.synth import SiteConfig, seed_urls
+from tegenaria_spark.streaming.rounds import stream_fetch_log_metrics
+
+CFG = EngineConfig(shuffle_partitions=4)
+
+
+def test_fetch_log_metrics_stream_matches_batch(spark, tmp_store_dir):
+    site = SiteConfig(n_domains=2, pages_per_domain=6)
+    store = LocalSnapshotStore(tmp_store_dir, spark)
+    engine = CrawlEngine(spark, store, site, CFG)
+    engine.run(seed_urls(site, n_seeds=4), max_rounds=3)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = stream_fetch_log_metrics(spark, tmp_store_dir, ckpt, query_name="fm_test")
+        q.awaitTermination(120)
+
+    streamed = {
+        r["outcome"]: r["n"] for r in spark.sql("SELECT * FROM fm_test").collect()
+    }
+    batch = {
+        r["outcome"]: r["count"]
+        for r in store.read_log("fetch_log").groupBy("outcome").count().collect()
+    }
+    assert streamed == batch
