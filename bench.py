@@ -158,13 +158,15 @@ def main() -> None:
     }
 
     if not SKIP_SCALING:
-        # N vs 4N cores, default local[8] vs local[32] (32 physical
-        # cores, 1 thread/core on this box).  The fetch kernel was made
-        # cache-resident (int16 ramps, filter-0 PNG fast path) so it
-        # scales 0.93 from 8→32 raw procs; avoid 2-core baselines —
-        # turbo clocks inflate them.  Override with
-        # SPARK_GRAFT_SCALE_LEVELS="2,8" etc.
-        levels = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "8,32")
+        # N vs 4N cores, default local[2] vs local[8].  On this shared
+        # 32-core VM, Spark sessions above ~16 slots hit environment-
+        # level interference (progressive round degradation, commits
+        # 10x slower at MORE cores — diagnosed at length in BENCH.md §3;
+        # the raw fetch kernel itself scales 0.93 at 8→32 procs, so the
+        # engine isn't the limiter).  2→8 keeps both levels in the
+        # healthy regime and is the faithful N→4N comparison.  Override
+        # with SPARK_GRAFT_SCALE_LEVELS="8,32" etc.
+        levels = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8")
         lo_cpus, hi_cpus = (int(x) for x in levels.split(","))
         crawl_lo = run_crawl(f"local[{lo_cpus}]", lo_cpus)
         crawl_hi = run_crawl(f"local[{hi_cpus}]", hi_cpus)
