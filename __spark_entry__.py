@@ -118,6 +118,32 @@ def _a8_outcome_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q5/Q7 round-loop shape generalized: gap-based sessionization of the
+    # event stream (lag + cumulative-sum windows) — the stateful
+    # windowing a crawl's revisit scheduling builds on
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        events.withColumn("_new", new_session)
+        .withColumn("session_no", F.sum("_new").over(w).cast("int"))
+        .groupBy("user_id", "session_no")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def _a5_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A8 dedup-rate metric shape: distinct vs total per group
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
 def _m1_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # M1/M2 middleware chain shape: ordered column transforms
     lineitem = _t(spark, sf_dir, "lineitem")
@@ -320,7 +346,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f5_status_allow_filter": _f5_status_allow_filter,
         "q1_priority_window_topk": _q1_priority_window_topk,
         "q2_politeness_budget": _q2_politeness_budget,
+        "q5_sessionize": _q5_sessionize,
         "q8_backpressure_topk": _q8_backpressure_topk,
+        "a5_dedup_rate": _a5_dedup_rate,
         "a1_metrics_counts": _a1_metrics_counts,
         "a3_count_over_time": _a3_count_over_time,
         "a6_union_distinct": _a6_union_distinct,
@@ -381,8 +409,28 @@ def oracle_sql() -> dict[str, str]:
             "             ORDER BY ts ASC, event_id ASC)::INT AS rank "
             "  FROM events) WHERE rank <= 16"
         ),
+        "q5_sessionize": (
+            "SELECT user_id, session_no, count(*) AS n_events FROM ("
+            "  SELECT user_id, "
+            "         CAST(sum(is_new) OVER (PARTITION BY user_id "
+            "             ORDER BY ts ASC, event_id ASC) AS INT) AS session_no "
+            "  FROM ("
+            "    SELECT user_id, ts, event_id, "
+            "           CASE WHEN prev_ts IS NULL "
+            "                  OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS is_new "
+            "    FROM ("
+            "      SELECT user_id, ts, event_id, "
+            "             lag(ts) OVER (PARTITION BY user_id "
+            "                 ORDER BY ts ASC, event_id ASC) AS prev_ts "
+            "      FROM events))) "
+            "GROUP BY user_id, session_no"
+        ),
         "q8_backpressure_topk": (
             "SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"
+        ),
+        "a5_dedup_rate": (
+            "SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct, "
+            "       count(DISTINCT lang) AS n_langs FROM documents GROUP BY source"
         ),
         "a1_metrics_counts": (
             "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
