@@ -15,6 +15,8 @@ rank-only outputs for similarity) so value-hash comparison is exact.
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
@@ -23,6 +25,64 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# expected-result fixtures for non-SQL-expressible queries
+#
+# For operators whose semantics DuckDB cannot re-derive (hash-seeded
+# LSH, engine scheduling, image codecs), the oracle is an INDEPENDENT
+# single-threaded implementation (tegenaria_spark/oracle_twins.py)
+# materialized to parquet; the oracle SQL is a read_parquet() of that
+# fixture.  The fixture regenerates inside the queries() callable when
+# the requested sf_dir differs from the stamped one, so driver runs at
+# any sf stay self-consistent; the committed fixtures are built at the
+# driver's sf0.01.  SPARK_GRAFT_SKIP_FIXTURES=1 skips regeneration
+# (bench timing must not include oracle work).
+# ---------------------------------------------------------------------------
+
+_FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "expected")
+
+
+def _fixture_path(key: str) -> str:
+    return os.path.join(_FIXTURE_DIR, f"{key}.parquet")
+
+
+def _ensure_fixture(key: str, sf_dir: str, builder) -> None:
+    """Materialize the expected table if missing or built for another sf."""
+    if os.environ.get("SPARK_GRAFT_SKIP_FIXTURES") == "1":
+        return
+    path = _fixture_path(key)
+    stamp = path + ".meta.json"
+    try:
+        with open(stamp) as fh:
+            if json.load(fh).get("sf_dir") == sf_dir and os.path.exists(path):
+                return
+    except (OSError, ValueError):
+        pass
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(_FIXTURE_DIR, exist_ok=True)
+    pdf = builder()
+    tmp = path + ".tmp"
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+    os.replace(tmp, path)
+    with open(stamp + ".tmp", "w") as fh:
+        json.dump({"sf_dir": sf_dir, "rows": len(pdf)}, fh)
+    os.replace(stamp + ".tmp", stamp)
+
+
+def _docs_pdf(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+
+
+def _emb_pdf(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
 
 
 # ---------------------------------------------------------------------------
@@ -110,11 +170,14 @@ def _a6_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _a8_outcome_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # A8 per-round outcome metrics shape: grouped counts + exact sums
+    # A8 per-round outcome metrics shape: grouped counts + exact sums.
+    # House rule (see module docstring): money is integer cents via
+    # floor — decimal sums render as decimal(28,2) in Spark vs
+    # decimal(38,2) in DuckDB and hash-mismatch even when values agree.
     orders = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("total_price_cents"),
     )
 
 
@@ -179,7 +242,7 @@ def _agg_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("revenue_cents"),
         )
     )
 
@@ -203,7 +266,11 @@ def _dedup_jaccard_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tegenaria_spark.operators.textdedup import minhash_lsh_pairs
+    from tegenaria_spark.oracle_twins import expected_minhash_pairs
 
+    _ensure_fixture(
+        "dedup_minhash_lsh", sf_dir, lambda: expected_minhash_pairs(_docs_pdf(sf_dir))
+    )
     pairs = minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), n_perm=64, n_bands=16, threshold=0.5
     )
@@ -212,7 +279,11 @@ def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tegenaria_spark.operators.textdedup import simhash_near_pairs
+    from tegenaria_spark.oracle_twins import expected_simhash_pairs
 
+    _ensure_fixture(
+        "dedup_simhash", sf_dir, lambda: expected_simhash_pairs(_docs_pdf(sf_dir))
+    )
     return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
 
 
@@ -236,7 +307,11 @@ def _text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tegenaria_spark.operators.textstats import doc_fingerprints
+    from tegenaria_spark.oracle_twins import expected_doc_fingerprints
 
+    _ensure_fixture(
+        "doc_fingerprints", sf_dir, lambda: expected_doc_fingerprints(_docs_pdf(sf_dir))
+    )
     return doc_fingerprints(_t(spark, sf_dir, "documents"))
 
 
@@ -252,7 +327,9 @@ def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tegenaria_spark.operators.similarity import cosine_topk_lsh
+    from tegenaria_spark.oracle_twins import expected_ann_lsh
 
+    _ensure_fixture("ann_cosine_topk_lsh", sf_dir, lambda: expected_ann_lsh(_emb_pdf(sf_dir)))
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -275,9 +352,12 @@ def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _crawl_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tegenaria_spark.functions.canonical import with_canonical, with_fingerprint
+    from tegenaria_spark.oracle_twins import expected_crawl_fingerprints
     from tegenaria_spark.schemas import FRONTIER_SCHEMA
     from tegenaria_spark.sources.synth import SiteConfig, seed_urls
     from datetime import datetime, timezone
+
+    _ensure_fixture("crawl_fingerprints", sf_dir, lambda: expected_crawl_fingerprints(200))
 
     site = SiteConfig(n_domains=8, pages_per_domain=32)
     ts0 = datetime.fromtimestamp(1_700_000_000, tz=timezone.utc)
@@ -299,8 +379,10 @@ def _crawl_round_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         ROBOTS_SCHEMA,
         URL_SEEN_SCHEMA,
     )
+    from tegenaria_spark.oracle_twins import expected_crawl_round_schedule
     from tegenaria_spark.sources.synth import SiteConfig, domain_budgets, robots_rules, seed_urls
 
+    _ensure_fixture("crawl_round_schedule", sf_dir, lambda: expected_crawl_round_schedule(300))
     cfg = EngineConfig(shuffle_partitions=16)
     site = SiteConfig(n_domains=8, pages_per_domain=32)
     ts0 = datetime.fromtimestamp(cfg.epoch_ms / 1000, tz=timezone.utc)
@@ -323,8 +405,10 @@ def _crawl_round_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tegenaria_spark.operators.multimodal import extract_features
+    from tegenaria_spark.oracle_twins import expected_multimodal_features
     from tegenaria_spark.sources.synth import SiteConfig, image_record
 
+    _ensure_fixture("multimodal_features", sf_dir, lambda: expected_multimodal_features(24))
     site = SiteConfig()
     rows = [
         tuple(
@@ -444,7 +528,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "a8_outcome_rollup": (
             "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
-            "       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price "
+            "       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS total_price_cents "
             "FROM orders GROUP BY 1, 2"
         ),
         "m1_transform_chain": (
@@ -456,7 +540,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "join_broadcast_rollup": (
             "SELECT c_mktsegment, count(*) AS n_orders, "
-            "       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue "
+            "       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS revenue_cents "
             "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1"
         ),
         "dedup_exact": (
@@ -522,7 +606,34 @@ def oracle_sql() -> dict[str, str]:
             "      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
             "       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4"
         ),
-        # dedup_minhash_lsh, dedup_simhash, doc_fingerprints,
-        # ann_cosine_topk_lsh, crawl_*, multimodal_features: rows-only
-        # (hash-seeded / UDF / engine semantics not expressible in SQL)
+        # --- expected-fixture oracles: independent single-threaded
+        # twins (tegenaria_spark/oracle_twins.py) materialized to
+        # parquet by the queries() callables; semantics not ANSI-SQL-
+        # expressible (hash-seeded LSH / engine scheduling / codecs)
+        "dedup_minhash_lsh": (
+            f"SELECT doc_a, doc_b FROM read_parquet('{_fixture_path('dedup_minhash_lsh')}')"
+        ),
+        "dedup_simhash": (
+            f"SELECT doc_a, doc_b, hamming FROM read_parquet('{_fixture_path('dedup_simhash')}')"
+        ),
+        "doc_fingerprints": (
+            "SELECT doc_id, content_hash, winnow_fp "
+            f"FROM read_parquet('{_fixture_path('doc_fingerprints')}')"
+        ),
+        "ann_cosine_topk_lsh": (
+            "SELECT query_id, neighbor_id, rank "
+            f"FROM read_parquet('{_fixture_path('ann_cosine_topk_lsh')}')"
+        ),
+        "crawl_fingerprints": (
+            "SELECT ctx_id, canon_url, domain, fp "
+            f"FROM read_parquet('{_fixture_path('crawl_fingerprints')}')"
+        ),
+        "crawl_round_schedule": (
+            "SELECT ctx_id, domain, outcome "
+            f"FROM read_parquet('{_fixture_path('crawl_round_schedule')}')"
+        ),
+        "multimodal_features": (
+            "SELECT image_id, w, h, fmt, phash "
+            f"FROM read_parquet('{_fixture_path('multimodal_features')}')"
+        ),
     }

@@ -141,6 +141,9 @@ def run_crawl(master: str, cpus: int) -> dict:
 def main() -> None:
     from tegenaria_spark.session import get_spark
 
+    # query timings must not include oracle-fixture regeneration (that
+    # is driver-contract work, not engine work)
+    os.environ["SPARK_GRAFT_SKIP_FIXTURES"] = "1"
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
     spark = get_spark("tegenaria-bench", master=f"local[{CPUS}]")

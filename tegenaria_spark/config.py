@@ -28,15 +28,31 @@ class EngineConfig:
     bloom_n: int = 1_048_576
     bloom_p: float = 0.001
     bloom_enabled: bool = True
-    # below this seen-set size the anti-join alone is cheaper than
-    # building + broadcasting a bitmap (the prefilter only pays off once
-    # the join side is big)
+    # below this seen-set size the anti-join alone is cheaper than the
+    # bloom prefilter's cogroup (the prefilter only pays off once the
+    # join side is big)
     bloom_min_seen: int = 4096
+    # bitmap shards: one bloom bitmap per pmod(fp, B) bucket, built and
+    # merged on executors (never on the driver).  At the 10^10 design
+    # point (m ≈ 17 GB total) B = 2^10 keeps each shard ~17 MB; the
+    # sandbox default keeps shards big enough to exercise multi-bucket
+    # paths without drowning tiny tests in empty buckets.
+    bloom_buckets: int = 16
+
+    # --- state-cache hygiene: rebuild the in-memory url_seen cache from
+    # the store (flat, file-backed lineage) and compact the url_seen
+    # delta dirs into a base snapshot every K rounds — caps both the
+    # union-plan depth and the O(rounds) delta-dir reads.
+    seen_compact_every: int = 8
 
     # --- partitioning / skew (north_rule: explicit salting).
     shuffle_partitions: int = 32
     domain_salt_width: int = 4      # S: one hot domain spreads over S tasks
-    fp_buckets: int = 64            # url_seen / frontier hash-bucket count
+    # frontier/url_seen hash-bucket count (the store's manifest
+    # granularity: commit rewrites only changed buckets).  Scale with
+    # frontier size — at 10^10 URLs use O(10^4) buckets so a bucket is
+    # ~10 MB-scale; the sandbox default keeps file counts small.
+    fp_buckets: int = 16
     image_buckets: int = 16         # image store bucket(image_id) count
 
     # --- arrow batching (keeps a partition of images in executor memory)

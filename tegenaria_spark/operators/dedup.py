@@ -116,6 +116,88 @@ def build_bloom(url_seen: DataFrame, n: int, p: float) -> Bloom:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Per-bucket bloom state (the 10^10 design): one bitmap per
+# pmod(fp, B) bucket, built and merged entirely on executors, persisted
+# as a tiny state table per round and updated incrementally from each
+# round's url_seen delta.  No driver-side bitmap ever materializes and
+# no O(|url_seen|) rebuild happens per round — the two scale-killers of
+# the single-global-bitmap build (round-1 VERDICT "What's wrong" #4).
+#
+# Sizing at the design point: n=10^10, p=0.001 ⇒ m ≈ 17 GB total; with
+# B = 2^10 buckets each bitmap is ~17 MB — an executor-comfortable
+# cogroup row, vs a driver-OOM broadcast.
+# ---------------------------------------------------------------------------
+
+BLOOM_STATE_SCHEMA = "bucket int, bits binary"
+
+
+def bloom_bucket_params(n: int, p: float, n_buckets: int) -> tuple[int, int]:
+    """(m_bits_per_bucket, k) sized for n/B expected fps per bucket."""
+    per = max(1, n // max(1, n_buckets))
+    m = optimal_num_of_bits(per, p)
+    return m, optimal_num_of_hash_functions(per, m)
+
+
+def bloom_delta_state(fps: DataFrame, n_buckets: int, m_bits: int, k: int) -> DataFrame:
+    """Per-bucket bitmaps for a batch of fps — grouped-map build, one
+    shuffle on the bucket key, bitmaps never leave the executors."""
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        b = Bloom(m_bits, k)
+        b.add_many(pdf["fp"].to_numpy())
+        return pd.DataFrame({"bucket": [int(key[0])], "bits": [b.bits.tobytes()]})
+
+    return (
+        fps.select(F.pmod(F.col("fp"), F.lit(n_buckets)).cast("int").alias("bucket"), "fp")
+        .groupBy("bucket")
+        .applyInPandas(build, BLOOM_STATE_SCHEMA)
+    )
+
+
+def bloom_merge_state(old: Optional[DataFrame], delta: DataFrame) -> DataFrame:
+    """OR bitmaps per bucket (grouped-map over the union)."""
+    if old is None:
+        return delta
+
+    def orfold(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        acc: Optional[np.ndarray] = None
+        for raw in pdf["bits"]:
+            arr = np.frombuffer(raw, dtype=np.uint8)
+            acc = arr.copy() if acc is None else np.bitwise_or(acc, arr)
+        return pd.DataFrame({"bucket": [int(key[0])], "bits": [acc.tobytes()]})
+
+    return old.unionByName(delta).groupBy("bucket").applyInPandas(orfold, BLOOM_STATE_SCHEMA)
+
+
+def bloom_fp_verdicts(
+    candidates: DataFrame, bloom_state: DataFrame, n_buckets: int, m_bits: int, k: int
+) -> DataFrame:
+    """(fp, _maybe) per distinct candidate fp — cogroup on the bucket
+    key so each bitmap meets exactly its candidate slice; the bitmap is
+    deserialized once per (bucket, task), never per row, and never
+    broadcast through the driver."""
+    cand_fps = (
+        candidates.select("fp")
+        .distinct()
+        .withColumn("_bb", F.pmod(F.col("fp"), F.lit(n_buckets)).cast("int"))
+    )
+
+    def mark(key, cpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+        if cpdf.empty:
+            return pd.DataFrame({"fp": pd.Series([], dtype="int64"), "_maybe": pd.Series([], dtype=bool)})
+        if bpdf.empty:
+            return pd.DataFrame({"fp": cpdf["fp"], "_maybe": False})
+        b = Bloom(m_bits, k, np.frombuffer(bpdf["bits"].iloc[0], dtype=np.uint8))
+        return pd.DataFrame({"fp": cpdf["fp"], "_maybe": b.contains_many(cpdf["fp"].to_numpy())})
+
+    return (
+        cand_fps.groupBy("_bb")
+        .cogroup(bloom_state.groupBy("bucket"))
+        .applyInPandas(mark, "fp long, _maybe boolean")
+    )
+
+
 def bloom_maybe_seen_udf(spark, bloom: Bloom):
     """Broadcast the bitmap once; return a vectorized membership UDF."""
     bc = spark.sparkContext.broadcast((bloom.m, bloom.k, bloom.bits.tobytes()))
@@ -151,12 +233,18 @@ def dedup_gate(
     candidates: DataFrame,
     url_seen: DataFrame,
     bloom_udf=None,
+    bloom_verdicts: Optional[DataFrame] = None,
 ) -> tuple[DataFrame, DataFrame]:
     """F1: drop candidates whose fp is already in url_seen (unless
     do_not_filter).  Returns (fresh, dup_dropped).
 
     With a bloom prefilter the anti-join only sees maybe-seen rows;
-    definitely-new rows bypass the shuffle entirely.
+    definitely-new rows bypass the shuffle entirely.  Two prefilter
+    forms: ``bloom_udf`` (broadcast bitmap — fine while the bitmap is
+    driver-sized) and ``bloom_verdicts`` (a (fp, _maybe) DataFrame from
+    :func:`bloom_fp_verdicts` — the per-bucket sharded form that never
+    touches the driver; the join on fp is batch×batch, tiny next to the
+    anti-join's url_seen side it prunes).
     """
     kept, batch_dups = dedup_within_batch(candidates)
     filt = kept.filter(~F.col("do_not_filter"))
@@ -166,8 +254,14 @@ def dedup_gate(
     # never fans out and both outputs fall out of a single shuffle
     seen = url_seen.select("fp").withColumn("_seen", F.lit(True))
 
-    if bloom_udf is not None:
+    if bloom_verdicts is not None:
+        tagged = filt.join(bloom_verdicts, "fp")
+    elif bloom_udf is not None:
         tagged = filt.withColumn("_maybe", bloom_udf(F.col("fp")))
+    else:
+        tagged = None
+
+    if tagged is not None:
         surely_new = tagged.filter(~F.col("_maybe")).drop("_maybe")
         maybe = tagged.filter(F.col("_maybe")).drop("_maybe")
         marked = maybe.join(seen, "fp", "left")

@@ -34,11 +34,13 @@ from pyspark.sql.types import ArrayType, LongType
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep the lowest id per identical text (hash-groupBy; the shuffle
-    key is the xxhash64 of the text, not the text itself)."""
+    """Keep the lowest id per identical text.  Groups by (hash, text) —
+    exactly group-by-text even under a 64-bit hash collision, while the
+    hash leads the grouping key so partitioning never clusters on long
+    shared text prefixes."""
     return (
         docs.withColumn("_h", F.xxhash64(F.col(text_col)))
-        .groupBy("_h")
+        .groupBy("_h", text_col)
         .agg(F.min(F.col(id_col)).alias("kept_doc_id"), F.count("*").alias("group_size"))
         .select("kept_doc_id", "group_size")
     )
@@ -68,6 +70,21 @@ def word_jaccard_pairs(
     are identical to the naive join (the DuckDB oracle runs the naive
     form).  Comparison is integer cross-multiplied (i·100 ≥
     t·(na+nb−i)) — no float boundary cases.
+
+    Two further PPJoin prunes (both EXACT — they only discard pairs
+    that provably cannot reach the threshold):
+
+    - length filter: J(a,b) ≥ t ⟹ t·|b| ≤ 100·|a| and t·|a| ≤ 100·|b|
+      (the overlap is at most min(|a|,|b|)), so docs whose sizes differ
+      by more than the ratio t never pair;
+    - positional filter: a candidate matched at prefix positions
+      (ra, rb) can overlap at most 1 + min(|a|−ra, |b|−rb); J ≥ t
+      needs overlap ≥ t·(|a|+|b|)/(100+t), so matches too deep in both
+      prefixes are discarded before the distinct.
+
+    Without these, a homogeneous corpus (many same-length docs sharing
+    rare tokens) explodes the candidate join — this was 56% of the
+    sf0.1 bench suite before the filters landed.
     """
     words = (
         docs.select(
@@ -88,12 +105,24 @@ def word_jaccard_pairs(
         .join(counts, "doc_id")
     )
     prefix_len = F.col("n") - F.ceil(F.col("n") * threshold_pct / 100) + 1
-    prefix = ranked.filter(F.col("_rn") <= prefix_len).select("doc_id", "w")
+    prefix = ranked.filter(F.col("_rn") <= prefix_len).select("doc_id", "w", "n", "_rn")
 
+    t = F.lit(threshold_pct)
+    pa = prefix.select(
+        F.col("doc_id").alias("da"), "w", F.col("n").alias("na"), F.col("_rn").alias("ra")
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("db"), "w", F.col("n").alias("nb"), F.col("_rn").alias("rb")
+    )
+    max_overlap = F.lit(1) + F.least(F.col("na") - F.col("ra"), F.col("nb") - F.col("rb"))
     cands = (
-        prefix.select(F.col("doc_id").alias("da"), "w")
-        .join(prefix.select(F.col("doc_id").alias("db"), "w"), "w")
+        pa.join(pb, "w")
         .filter(F.col("da") < F.col("db"))
+        # length filter: min(na,nb)·100 ≥ t·max(na,nb)
+        .filter((F.col("na") * 100 >= t * F.col("nb")) & (F.col("nb") * 100 >= t * F.col("na")))
+        # positional filter: best-case overlap must still reach the
+        # required α = ⌈t·(na+nb)/(100+t)⌉ (integer cross-multiplied)
+        .filter(max_overlap * (100 + t) >= t * (F.col("na") + F.col("nb")))
         .select("da", "db")
         .distinct()
     )
@@ -241,39 +270,59 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash_udf(seed: int = 42):
-    """64-bit SimHash over word unigrams (vectorized numpy bit-votes)."""
+def py_simhash(text: str, seed: int = 42) -> int:
+    """Single-doc SimHash twin (signed int64) — the oracle-side spec of
+    :func:`simhash_table`; bit-identical by the XXH64 JVM/Python parity."""
     from tegenaria_spark.functions.xxh64 import xxh64_unsigned
 
-    @pandas_udf(LongType())
-    def simhash(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            words = [w for w in (t or "").lower().split(" ") if w]
-            if not words:
-                out.append(0)
-                continue
-            hv = np.fromiter(
-                (xxh64_unsigned(w.encode("utf-8"), seed) for w in set(words)),
-                dtype=np.uint64,
-            )
-            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-                np.int64
-            )
-            votes = (2 * bits - 1).sum(axis=0)
-            val = 0
-            for j in range(64):
-                if votes[j] > 0:
-                    val |= 1 << j
-            out.append(val - (1 << 64) if val >= (1 << 63) else val)
-        return pd.Series(out, dtype="int64")
-
-    return simhash
+    words = {w for w in (text or "").lower().split(" ") if w}
+    if not words:
+        return 0
+    hv = np.fromiter((xxh64_unsigned(w.encode("utf-8"), seed) for w in words), dtype=np.uint64)
+    bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    val = 0
+    for j in range(64):
+        if votes[j] > 0:
+            val |= 1 << j
+    return val - (1 << 64) if val >= (1 << 63) else val
 
 
 def simhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    return docs.select(
-        F.col(id_col).alias("doc_id"), simhash_udf()(F.col(text_col)).alias("simhash")
+    """64-bit SimHash over distinct word unigrams — entirely JVM-side.
+
+    The per-word hash is Spark's built-in ``xxhash64`` (seed 42, same
+    bits as the Python twin), the 64 bit-votes are 64 conditional-sum
+    aggregates inside whole-stage codegen, and the hash assembles from
+    the vote signs — zero Python in the hot path (the old pandas UDF
+    hashed every token in pure Python)."""
+    words = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+        .withColumn("_h", F.xxhash64(F.col("w")))
+    )
+    bit = lambda j: F.shiftrightunsigned(F.col("_h"), j).bitwiseAND(F.lit(1))  # noqa: E731
+    votes = words.groupBy("doc_id").agg(
+        F.count("*").alias("_n"),
+        *[F.sum(bit(j)).alias(f"_b{j}") for j in range(64)],
+    )
+    # vote_j = 2·ones_j − n > 0  ⇔  2·ones_j > n; set bit j of the hash
+    sim = None
+    for j in range(64):
+        term = F.when(F.col(f"_b{j}") * 2 > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim.bitwiseOR(term)
+    hashed = votes.select("doc_id", sim.alias("simhash"))
+    # docs with no words (empty text) have no vote rows — simhash 0
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hashed, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash"))
     )
 
 

@@ -10,11 +10,8 @@ compare exactly (no float-boundary flakiness).
 
 from __future__ import annotations
 
-import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
 
 # stopword marker sets per language — tiny and deliberately simple so
 # the rule is implementable identically in ANSI SQL for the oracle
@@ -67,32 +64,32 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
-def doc_fingerprint_udf(window: int = 8):
-    """Winnowing-style fingerprint: min rolling-hash over char windows.
-
-    Deterministic (XXH64 twin), vectorized per Arrow batch; the result
-    is a 64-bit content fingerprint robust to small local edits."""
+def py_winnow_fp(text: str, window: int = 8, stride: int = 4) -> int:
+    """Oracle twin of :func:`winnow_fp_col`: min XXH64 over char windows."""
     from tegenaria_spark.functions.xxh64 import xxh64_str
 
-    @pandas_udf(LongType())
-    def fingerprint(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            t = t or ""
-            if len(t) <= window:
-                out.append(xxh64_str(t))
-                continue
-            out.append(
-                min(xxh64_str(t[i : i + window]) for i in range(0, len(t) - window + 1, 4))
-            )
-        return pd.Series(out, dtype="int64")
+    t = text or ""
+    if len(t) <= window:
+        return xxh64_str(t)
+    return min(xxh64_str(t[i : i + window]) for i in range(0, len(t) - window + 1, stride))
 
-    return fingerprint
+
+def winnow_fp_col(text, window: int = 8, stride: int = 4):
+    """Winnowing-style fingerprint: min rolling-hash over char windows —
+    entirely JVM-side (the old pandas UDF called a pure-Python XXH64
+    per window).  ``sequence`` generates the window start offsets,
+    ``transform`` + built-in ``xxhash64`` hashes each window inside
+    whole-stage codegen, ``array_min`` winnows."""
+    t = F.col(text) if isinstance(text, str) else text
+    starts = F.sequence(F.lit(0), F.length(t) - window, F.lit(stride))
+    hashes = F.transform(starts, lambda i: F.xxhash64(F.substring(t, i + 1, window)))
+    return F.when(F.length(t) <= window, F.xxhash64(t)).otherwise(F.array_min(hashes))
 
 
 def doc_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    t = F.coalesce(F.col(text_col), F.lit(""))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.xxhash64(F.col(text_col)).alias("content_hash"),
-        doc_fingerprint_udf()(F.col(text_col)).alias("winnow_fp"),
+        winnow_fp_col(t).alias("winnow_fp"),
     )

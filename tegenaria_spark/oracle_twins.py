@@ -1,0 +1,296 @@
+"""Pure-Python/numpy oracle twins for the queries whose semantics are
+not ANSI-SQL-expressible (hash-seeded LSH, engine scheduling, image
+codecs).  Each ``expected_*`` builder recomputes the operator's result
+from first principles — single-threaded, no Spark — so the driver's
+DuckDB gate can compare the distributed plan against an independent
+implementation: the builders are materialized to parquet fixtures by
+``__spark_entry__`` and the oracle SQL is a ``read_parquet`` of the
+fixture.
+
+Everything here is deterministic by construction: XXH64 twin
+(functions/xxh64.py, bit-identical to Spark's ``F.xxhash64``),
+fixed-point SRP planes (operators/similarity.py), integer-exact phash
+(functions/images.py) and the deterministic synthetic web
+(sources/synth.py).
+
+Float folds: where the Spark side scores with ``F.aggregate`` (a strict
+left-to-right double fold), the twins reproduce the same order with
+``np.cumsum`` (sequential prefix sums), so cosine ranks agree
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import numpy as np
+import pandas as pd
+
+from tegenaria_spark.functions.xxh64 import xxh64_str
+
+# ---------------------------------------------------------------------------
+# float-fold twin
+# ---------------------------------------------------------------------------
+
+
+def fold_dot(a: np.ndarray, b: np.ndarray) -> float:
+    """Strict left-to-right double fold of Σ a_i·b_i — the same
+    summation order as ``F.aggregate(F.zip_with(...))``."""
+    prods = a.astype(np.float64) * b.astype(np.float64)
+    return float(np.cumsum(prods)[-1]) if len(prods) else 0.0
+
+
+def fold_cosine(a: np.ndarray, b: np.ndarray) -> float:
+    na = np.sqrt(np.cumsum(a.astype(np.float64) ** 2)[-1])
+    nb = np.sqrt(np.cumsum(b.astype(np.float64) ** 2)[-1])
+    return fold_dot(a, b) / (na * nb)
+
+
+# ---------------------------------------------------------------------------
+# documents-table twins
+# ---------------------------------------------------------------------------
+
+
+def expected_minhash_pairs(
+    docs: pd.DataFrame,
+    n_perm: int = 64,
+    n_bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Twin of operators/textdedup.py:minhash_lsh_pairs: same signature
+    params and shingle hashes (the documented spec), independent
+    banding/bucketing/verification (dict buckets vs the Spark band
+    explode + joins)."""
+    from tegenaria_spark.operators.textdedup import _MERSENNE, _minhash_params, _shingle_hashes
+
+    a, b = _minhash_params(n_perm, seed)
+    m = np.uint64(_MERSENNE)
+    rpb = n_perm // n_bands
+    sigs: dict[int, np.ndarray] = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        hv = _shingle_hashes(text, shingle_k)
+        sigs[int(did)] = ((a[:, None] * hv[None, :] + b[:, None]) % m).min(axis=1).astype(np.int64)
+
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for did, sig in sigs.items():
+        for band in range(n_bands):
+            key_str = ",".join(str(int(v)) for v in sig[band * rpb : (band + 1) * rpb])
+            buckets.setdefault((band, xxh64_str(key_str)), []).append(did)
+
+    cands: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        if len(ids) > 1:
+            ids.sort()
+            cands.update(combinations(ids, 2))
+
+    rows = [
+        (da, db)
+        for da, db in sorted(cands)
+        if int((sigs[da] == sigs[db]).sum()) / n_perm >= threshold
+    ]
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b"]).astype({"doc_a": "int64", "doc_b": "int64"})
+
+
+def expected_simhash_pairs(docs: pd.DataFrame, max_hamming: int = 6) -> pd.DataFrame:
+    """Twin of simhash_near_pairs: py_simhash per doc, dict chunk
+    blocking, exact hamming."""
+    from tegenaria_spark.operators.textdedup import py_simhash
+
+    hashes = {int(d): py_simhash(t) for d, t in zip(docs["doc_id"], docs["text"])}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for did, h in hashes.items():
+        u = h & ((1 << 64) - 1)
+        for ci in range(4):
+            buckets.setdefault((ci, (u >> (ci * 16)) & 0xFFFF), []).append(did)
+    cands: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        if len(ids) > 1:
+            ids.sort()
+            cands.update(combinations(ids, 2))
+    rows = []
+    for da, db in sorted(cands):
+        ham = bin((hashes[da] ^ hashes[db]) & ((1 << 64) - 1)).count("1")
+        if ham <= max_hamming:
+            rows.append((da, db, ham))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]).astype(
+        {"doc_a": "int64", "doc_b": "int64", "hamming": "int32"}
+    )
+
+
+def expected_doc_fingerprints(docs: pd.DataFrame) -> pd.DataFrame:
+    """Twin of textstats.doc_fingerprints (content hash + winnowing)."""
+    from tegenaria_spark.operators.textstats import py_winnow_fp
+
+    rows = [
+        (int(d), xxh64_str(t or ""), py_winnow_fp(t or ""))
+        for d, t in zip(docs["doc_id"], docs["text"])
+    ]
+    return pd.DataFrame(rows, columns=["doc_id", "content_hash", "winnow_fp"]).astype(
+        {"doc_id": "int64", "content_hash": "int64", "winnow_fp": "int64"}
+    )
+
+
+# ---------------------------------------------------------------------------
+# embeddings-table twin
+# ---------------------------------------------------------------------------
+
+
+def expected_ann_lsh(
+    emb: pd.DataFrame,
+    dim: int = 64,
+    k: int = 5,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    n_queries: int = 10,
+) -> pd.DataFrame:
+    """Twin of similarity.cosine_topk_lsh for the driver-contract query
+    (queries = vec_id < n_queries): fixed-point SRP buckets (integer
+    math — bit-identical to the Spark UDF), union of per-table bucket
+    matches, exact fold-cosine rank."""
+    from tegenaria_spark.operators.similarity import srp_bucket_matrix, srp_planes_int
+
+    ids = emb["vec_id"].to_numpy()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    qmask = ids < n_queries
+
+    cands: dict[int, set[int]] = {int(q): set() for q in ids[qmask]}
+    for t in range(n_tables):
+        planes = srp_planes_int(dim, n_bits, seed=1000 + t)
+        bucket = srp_bucket_matrix(mat, planes)
+        by_bucket: dict[int, list[int]] = {}
+        for i, bk in enumerate(bucket):
+            by_bucket.setdefault(int(bk), []).append(i)
+        for qi in np.nonzero(qmask)[0]:
+            for vi in by_bucket.get(int(bucket[qi]), []):
+                if ids[vi] != ids[qi]:
+                    cands[int(ids[qi])].add(vi)
+
+    rows = []
+    for qid, vis in cands.items():
+        qi = int(np.nonzero(ids == qid)[0][0])
+        scored = sorted(
+            ((fold_cosine(mat[qi], mat[vi]), int(ids[vi])) for vi in vis),
+            key=lambda t2: (-t2[0], t2[1]),
+        )
+        for rank, (_, nid) in enumerate(scored[:k], start=1):
+            rows.append((qid, nid, rank))
+    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"]).astype(
+        {"query_id": "int64", "neighbor_id": "int64", "rank": "int32"}
+    )
+
+
+# ---------------------------------------------------------------------------
+# crawl-engine twins (synthetic seeds — sf-independent)
+# ---------------------------------------------------------------------------
+
+
+def expected_crawl_fingerprints(n_seeds: int = 200) -> pd.DataFrame:
+    """Twin of the crawl_fingerprints query: canonicalize + fingerprint
+    every seed via the pure-Python spec functions."""
+    from tegenaria_spark.functions.canonical import py_canonicalize, py_fingerprint
+    from tegenaria_spark.sources.synth import SiteConfig, seed_urls
+
+    site = SiteConfig(n_domains=8, pages_per_domain=32)
+    rows = []
+    for r in seed_urls(site, n_seeds=n_seeds):
+        canon, domain, _valid = py_canonicalize(r["url"])
+        fp = py_fingerprint(r["method"], r["url"], r.get("body"), r.get("headers"))
+        rows.append((r["ctx_id"], canon, domain, fp))
+    return pd.DataFrame(rows, columns=["ctx_id", "canon_url", "domain", "fp"]).astype(
+        {"fp": "int64"}
+    )
+
+
+def expected_crawl_round_schedule(n_seeds: int = 300) -> pd.DataFrame:
+    """Twin of the crawl_round_schedule query: round-0 scheduling of a
+    fresh seed frontier — within-batch dedup (keep-first-by-seq),
+    longest-prefix robots, per-domain budget rank.  Single-threaded
+    dict/list logic mirroring plans/simulator.py."""
+    from urllib.parse import urlsplit
+
+    from tegenaria_spark.config import EngineConfig
+    from tegenaria_spark.functions.canonical import py_canonicalize, py_fingerprint
+    from tegenaria_spark.sources.synth import SiteConfig, domain_budgets, robots_rules, seed_urls
+
+    cfg = EngineConfig(shuffle_partitions=16)
+    site = SiteConfig(n_domains=8, pages_per_domain=32)
+    robots = robots_rules(site)
+    budget_map = {b["domain"]: b["budget_per_round"] for b in domain_budgets(site, 8)}
+
+    seeds = []
+    for r in seed_urls(site, n_seeds=n_seeds):
+        canon, domain, valid = py_canonicalize(r["url"])
+        if not valid:
+            continue  # the query filters on valid before the gate
+        fp = py_fingerprint(r["method"], r["url"], r.get("body"), r.get("headers"))
+        seeds.append({**r, "canon_url": canon, "domain": domain, "fp": fp})
+
+    # dedup gate vs empty seen-set: keep-first-by-enqueue_seq per fp
+    # among filterable rows; do_not_filter rows always pass
+    out: list[tuple[str, str, str]] = []
+    first_by_fp: dict[int, int] = {}
+    for s in sorted(seeds, key=lambda x: x["enqueue_seq"]):
+        if s["do_not_filter"]:
+            continue
+        if s["fp"] not in first_by_fp:
+            first_by_fp[s["fp"]] = s["enqueue_seq"]
+    fresh = []
+    for s in seeds:
+        if not s["do_not_filter"] and first_by_fp.get(s["fp"]) != s["enqueue_seq"]:
+            out.append((s["ctx_id"], s["domain"], "dup_dropped"))
+        else:
+            fresh.append(s)
+
+    # robots: longest matching prefix wins, default allow
+    def allowed(s) -> bool:
+        path = urlsplit(s["canon_url"]).path or "/"
+        best = None
+        for rule in robots:
+            if rule["domain"] == s["domain"] and path.startswith(rule["path_prefix"]):
+                if best is None or len(rule["path_prefix"]) > len(best["path_prefix"]):
+                    best = rule
+        return True if best is None else bool(best["allow"])
+
+    ready = []
+    for s in fresh:  # all seeds share next_fetch_time == round-0 ts ⇒ all ready
+        if allowed(s):
+            ready.append(s)
+        else:
+            out.append((s["ctx_id"], s["domain"], "robots_blocked"))
+
+    # budget: rank per domain by (priority, next_fetch_time, enqueue_seq);
+    # next_fetch_time is constant across the batch, so seq breaks ties
+    by_domain: dict[str, list[dict]] = {}
+    for s in ready:
+        by_domain.setdefault(s["domain"], []).append(s)
+    for domain, group in by_domain.items():
+        group.sort(key=lambda x: (x["priority"], x["enqueue_seq"]))
+        budget = budget_map.get(domain, cfg.default_budget_per_round)
+        for s in group[:budget]:
+            out.append((s["ctx_id"], s["domain"], "selected"))
+        for s in group[budget:]:
+            out.append((s["ctx_id"], s["domain"], "deferred"))
+
+    return pd.DataFrame(out, columns=["ctx_id", "domain", "outcome"])
+
+
+def expected_multimodal_features(n: int = 24) -> pd.DataFrame:
+    """Twin of the multimodal_features query: regenerate each synthetic
+    image, encode, decode, phash — the same per-row invariant the
+    north_rule demands (decoded pixels + caption equality)."""
+    from tegenaria_spark.functions.images import decode_image, encode_image, phash64
+    from tegenaria_spark.sources.synth import SiteConfig, image_pixels
+
+    site = SiteConfig()
+    rows = []
+    for i in range(n):
+        image_id = f"img-{i:03d}-{i:04d}"
+        fmt = "png" if i % 2 else "jpeg"
+        px = image_pixels(image_id, site)
+        blob = encode_image(px, fmt)
+        rows.append((image_id, int(px.shape[1]), int(px.shape[0]), fmt, phash64(decode_image(blob))))
+    return pd.DataFrame(rows, columns=["image_id", "w", "h", "fmt", "phash"]).astype(
+        {"w": "int32", "h": "int32", "phash": "int64"}
+    )

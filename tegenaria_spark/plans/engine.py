@@ -38,9 +38,10 @@ from pyspark.sql import DataFrame, SparkSession
 from tegenaria_spark.config import DEFAULT_CONFIG, EngineConfig
 from tegenaria_spark.functions.canonical import with_canonical, with_fingerprint
 from tegenaria_spark.operators.dedup import (
-    Bloom,
-    bloom_maybe_seen_udf,
-    build_bloom,
+    bloom_bucket_params,
+    bloom_delta_state,
+    bloom_fp_verdicts,
+    bloom_merge_state,
     dedup_gate,
     url_seen_delta,
 )
@@ -152,6 +153,8 @@ class CrawlEngine:
         )
         self._seen_cache = None
         self._seen_cache_round = -1
+        self._bloom_state = None  # per-bucket bitmap DF, pinned
+        self._bloom_mk = bloom_bucket_params(cfg.bloom_n, cfg.bloom_p, cfg.bloom_buckets)
 
     # ------------------------------------------------------------------
     # bootstrap: seeds pass the same dedup gate as outlinks (S1 → S2)
@@ -200,11 +203,12 @@ class CrawlEngine:
     # ------------------------------------------------------------------
 
     def _read_state(self, r: int) -> tuple[DataFrame, DataFrame]:
-        """Frontier from the round's snapshot; url_seen from the hot
-        in-memory cache (append-only set — re-reading every delta dir
-        each round would be O(rounds²) file opens).  The cache is
-        rebuilt from the store on first use, so resume still works."""
-        frontier_raw = self.spark.read.parquet(self.store._state_path("frontier", r))
+        """Frontier from the round's snapshot (manifest read: changed +
+        carried buckets); url_seen from the hot in-memory cache
+        (append-only set — re-reading every delta dir each round would
+        be O(rounds²) file opens).  The cache is rebuilt from the store
+        on first use, so resume still works."""
+        frontier_raw = self.store.read_frontier(r)
         if self._seen_cache is None or self._seen_cache_round > r:
             self._seen_cache = self.store.read_url_seen(r).persist()
             self._seen_cache_round = r
@@ -212,15 +216,65 @@ class CrawlEngine:
 
     def _advance_seen_cache(self, r: int) -> None:
         """Union the round's committed delta (read back from the store —
-        file-backed lineage, safe after round checkpoints unpersist)."""
-        delta = self.spark.read.schema(URL_SEEN_SCHEMA).parquet(
-            self.store._state_path("url_seen", r)
-        )
+        file-backed lineage, safe after round checkpoints unpersist).
+
+        The superseded cache is unpersisted (round-1 ADVICE: cached
+        copies otherwise stack up O(rounds) in executor storage), and
+        every ``seen_compact_every`` rounds the delta dirs compact into
+        a base snapshot and the cache rebuilds from it — capping both
+        union-plan depth and delta-dir fan-in."""
         old = self._seen_cache
-        self._seen_cache = (
-            old.unionByName(delta).persist() if old is not None else delta.persist()
-        )
+        if r > 0 and r % self.cfg.seen_compact_every == 0:
+            self.store.compact_url_seen(r)
+            self._seen_cache = self.store.read_url_seen(r).persist()
+        else:
+            delta = self.spark.read.schema(URL_SEEN_SCHEMA).parquet(
+                self.store._state_path("url_seen", r)
+            )
+            self._seen_cache = (
+                old.unionByName(delta).persist() if old is not None else delta.persist()
+            )
+        if old is not None and old is not self._seen_cache:
+            # safe immediately: the new cache's lineage reads parquet
+            # files, never the old cache's blocks
+            old.unpersist()
         self._seen_cache_round = r
+
+    # ------------------------------------------------------------------
+    # per-bucket bloom state (A5): maintained incrementally from each
+    # round's url_seen delta; persisted with the commit for resume
+    # ------------------------------------------------------------------
+
+    def _bloom_enabled(self) -> bool:
+        return self.cfg.bloom_enabled
+
+    def _load_bloom_state(self, r: int) -> Optional[DataFrame]:
+        """In-memory state, else the store's (resume), else a one-shot
+        distributed rebuild from url_seen — never a driver collect."""
+        if self._bloom_state is not None:
+            return self._bloom_state
+        m, k = self._bloom_mk
+        state = self.store.read_state("bloom", r)
+        if state is None:
+            state = bloom_delta_state(
+                self.store.read_url_seen(r), self.cfg.bloom_buckets, m, k
+            )
+        self._bloom_state = state.localCheckpoint(eager=True)
+        return self._bloom_state
+
+    def _advance_bloom_state(self, seen_delta: DataFrame) -> Optional[DataFrame]:
+        """Merge the round's new fps into the bitmap shards; returns the
+        new state (pinned) for inclusion in the commit."""
+        if not self._bloom_enabled():
+            return None
+        m, k = self._bloom_mk
+        delta = bloom_delta_state(seen_delta, self.cfg.bloom_buckets, m, k)
+        old = self._bloom_state
+        merged = bloom_merge_state(old, delta).localCheckpoint(eager=True)
+        if old is not None:
+            old.unpersist()
+        self._bloom_state = merged
+        return merged
 
     def run_round(self, r: int, frontier: DataFrame, url_seen: DataFrame) -> RoundResult:
         cfg, site = self.cfg, self.site
@@ -268,11 +322,13 @@ class CrawlEngine:
         invalid = candidates.filter(~F.col("valid"))
         candidates = candidates.filter(F.col("valid"))
 
-        bloom_udf = None
-        if cfg.bloom_enabled and self.store.url_seen_total(r) >= cfg.bloom_min_seen:
-            bloom = build_bloom(url_seen, cfg.bloom_n, cfg.bloom_p)
-            bloom_udf = bloom_maybe_seen_udf(self.spark, bloom)
-        fresh, dups = dedup_gate(candidates, url_seen, bloom_udf)
+        verdicts = None
+        if self._bloom_enabled() and self.store.url_seen_total(r) >= cfg.bloom_min_seen:
+            m, k = self._bloom_mk
+            verdicts = bloom_fp_verdicts(
+                candidates, self._load_bloom_state(r), cfg.bloom_buckets, m, k
+            )
+        fresh, dups = dedup_gate(candidates, url_seen, bloom_verdicts=verdicts)
         # fresh feeds three sinks (frontier, url_seen, logs) that run as
         # concurrent commit jobs — eager pin, or they race the compute
         fresh = pin(fresh)
@@ -314,12 +370,26 @@ class CrawlEngine:
             round_metrics_rows(counts, status_counts, n_items, r), METRICS_SCHEMA
         )
         mark("counts")
+        # commit I/O ∝ churn: only fp-buckets touched this round rewrite
+        # (ready rows left/changed; fresh/retry rows entered) — sleeping
+        # buckets carry over by manifest reference
+        ready_fps = decided.filter(F.col("sched") != "sleeping").select("fp")
+        changed_buckets = [
+            row["b"]
+            for row in ready_fps.unionByName(fresh.select("fp"))
+            .select(F.pmod(F.col("fp"), F.lit(cfg.fp_buckets)).cast("int").alias("b"))
+            .distinct()
+            .collect()
+        ]
+        bloom_state = self._advance_bloom_state(seen_delta)
         snapshot_id, table_counts = self.store.commit_round(
             r + 1,
             new_frontier,
             seen_delta,
             {"items": items, "fetch_log": fetch_log, "metrics": metrics},
             {"phase": "round", "round": r, "outcomes": counts},
+            frontier_changed_buckets=changed_buckets,
+            extra_state={"bloom": bloom_state} if bloom_state is not None else None,
         )
         frontier_size = table_counts.get("frontier", 0)
         self._advance_seen_cache(r + 1)

@@ -45,6 +45,17 @@ FRONTIER_SCHEMA = StructType(
 # derived columns appended by canonicalize/fingerprint stages
 CANONICAL_COLS = ["canon_url", "domain", "valid", "fp"]
 
+# frontier *state* as persisted by the store: request columns plus the
+# derived identity columns (valid is dropped — state rows passed it)
+FRONTIER_STATE_SCHEMA = StructType(
+    FRONTIER_SCHEMA.fields
+    + [
+        StructField("canon_url", StringType(), True),
+        StructField("domain", StringType(), True),
+        StructField("fp", LongType(), True),
+    ]
+)
+
 # url_seen — dedup state (bloom contents, dupefilters.go:131-141)
 URL_SEEN_SCHEMA = StructType(
     [

@@ -12,16 +12,26 @@ what Iceberg's catalog would provide; swap ``LocalSnapshotStore`` for an
 Iceberg writer and nothing above this module changes):
 
     root/
-      state/frontier/v{r}/      full frontier state as of end of round r
-      state/url_seen/v{r}/      append-only delta per round (read = union ≤ r)
-      logs/{items,fetch_log,metrics,lineage}/round={r}/
-      commits/round-{r}.json    written LAST — the atomic commit marker
+      state/frontier/v{r}/_fb={b}/  CHANGED fp-buckets of the frontier as
+                                    of end of round r; unchanged buckets
+                                    are carried by manifest reference to
+                                    their last-written version (Iceberg-
+                                    manifest style: commit I/O scales
+                                    with frontier CHURN, not size)
+      state/url_seen/v{r}/          append-only delta per round
+      state/url_seen_base/v{r}/     periodic compaction of deltas ≤ r
+                                    (read = newest base + later deltas)
+      state/bloom/v{r}/             per-bucket bloom bitmaps (A5 state)
+      logs/{items,fetch_log,metrics,lineage}/r{r}/
+      commits/round-{r}.json        written LAST — the atomic commit
+                                    marker; carries the frontier bucket
+                                    manifest {bucket: {path, rows}}
 
 A round is visible iff its marker exists; crash mid-round leaves
 orphan data dirs that the next run ignores and overwrites.  With real
-Iceberg, frontier maintenance becomes row-level MERGE instead of a
-versioned rewrite and url_seen reads prune by the ``bucket(fp)``
-partition spec — the fallback keeps the same read/write API.
+Iceberg, the bucket manifest becomes row-level MERGE on a
+``bucket(fp)`` partition spec and compaction becomes snapshot
+expiration — the fallback keeps the same read/write API.
 """
 
 from __future__ import annotations
@@ -37,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from tegenaria_spark.schemas import (
     FRONTIER_SCHEMA,
+    FRONTIER_STATE_SCHEMA,
     LINEAGE_SCHEMA,
     URL_SEEN_SCHEMA,
 )
@@ -45,9 +56,10 @@ APPEND_TABLES = ("items", "fetch_log", "metrics", "lineage")
 
 
 class LocalSnapshotStore:
-    def __init__(self, root: str, spark: SparkSession):
+    def __init__(self, root: str, spark: SparkSession, fp_buckets: int = 16):
         self.root = root
         self.spark = spark
+        self.fp_buckets = fp_buckets
         os.makedirs(os.path.join(root, "commits"), exist_ok=True)
 
     # -- commit protocol ----------------------------------------------------
@@ -82,6 +94,33 @@ class LocalSnapshotStore:
         # partition-style) so parquet partition inference can't collide
         return os.path.join(self.root, "logs", table, f"r{r}")
 
+    def _marker(self, r: int) -> Optional[dict]:
+        path = os.path.join(self.root, "commits", f"round-{r}.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return json.load(fh)
+
+    def frontier_manifest(self, r: int) -> Optional[dict]:
+        """{bucket(str): {"path": dir, "rows": n}} as committed at round r."""
+        m = self._marker(r)
+        return None if m is None else m.get("frontier_manifest")
+
+    @staticmethod
+    def _scan_parts(path: str) -> list[tuple[str, int]]:
+        """(file, num_rows) for every parquet part under *path* (recursive
+        for partitioned layouts) — a pure footer/metadata read, zero
+        Spark jobs (the manifest scan Iceberg would give us)."""
+        import pyarrow.parquet as pq
+
+        out = []
+        for dirpath, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                if f.startswith("part-") and f.endswith(".parquet"):
+                    full = os.path.join(dirpath, f)
+                    out.append((full, int(pq.ParquetFile(full).metadata.num_rows)))
+        return out
+
     def commit_round(
         self,
         r: int,
@@ -89,17 +128,35 @@ class LocalSnapshotStore:
         url_seen_delta: DataFrame,
         logs: dict[str, DataFrame],
         stats: dict,
+        frontier_changed_buckets: Optional[list[int]] = None,
+        extra_state: Optional[dict[str, DataFrame]] = None,
     ) -> tuple[str, dict[str, int]]:
         """Write state + appends, then the marker.
 
+        ``frontier_changed_buckets``: fp-buckets whose rows changed this
+        round.  Only those buckets rewrite (partitioned by ``_fb``);
+        unchanged buckets are carried into the new manifest by reference
+        to their previously-written files — commit I/O scales with
+        frontier churn, not frontier size.  ``None`` ⇒ full rewrite
+        (bootstrap, or a caller without churn tracking).
+
+        ``extra_state``: additional full-state tables (e.g. the
+        per-bucket bloom bitmaps) written under ``state/{name}/v{r}``.
+
         Returns ``(snapshot_id, row_counts_per_table)`` — counts fall out
-        of the lineage pass, so callers never need a separate count job.
+        of the footer/manifest pass, so callers never need a count job.
         """
         snapshot_id = f"snap-{r}-{uuid.uuid4().hex[:12]}"
         lineage_rows = []
+        manifest: dict[str, dict] = {}
 
         write_times: dict[str, float] = {}
         max_files = int(os.environ.get("TEGENARIA_COMMIT_MAX_FILES", "16"))
+
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        _lineage_lock = threading.Lock()
 
         def write(df: DataFrame, path: str, table: str) -> None:
             import time as _time
@@ -114,37 +171,75 @@ class LocalSnapshotStore:
                 df = df.coalesce(max_files)
             df.write.mode("overwrite").parquet(path)
             write_times[table] = round(_time.time() - _t0, 2)
-            # per-partition lineage from parquet footers — a pure
-            # metadata read (the manifest scan Iceberg would give us),
-            # zero Spark jobs
-            import pyarrow.parquet as pq
+            rows = [
+                (r, table, pid, snapshot_id, n)
+                for pid, (_f, n) in enumerate(self._scan_parts(path))
+            ]
+            with _lineage_lock:
+                lineage_rows.extend(rows)
 
-            parts = sorted(
-                f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".parquet")
+        def write_frontier() -> None:
+            if "fp" not in frontier.columns:
+                # schema-free caller (tests / ad-hoc tables): flat
+                # layout, no bucket manifest
+                write(frontier, self._state_path("frontier", r), "frontier")
+                return
+            import time as _time
+
+            _t0 = _time.time()
+            path = self._state_path("frontier", r)
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            df = frontier.withColumn(
+                "_fb", F.pmod(F.col("fp"), F.lit(self.fp_buckets)).cast("int")
             )
+            carried: dict[str, dict] = {}
+            if frontier_changed_buckets is not None:
+                prev = self.frontier_manifest(r - 1) or {}
+                changed = {int(b) for b in frontier_changed_buckets}
+                df = df.filter(F.col("_fb").isin(*changed) if changed else F.lit(False))
+                carried = {b: m for b, m in prev.items() if int(b) not in changed}
+            if df.rdd.getNumPartitions() > max_files:
+                df = df.coalesce(max_files)
+            df.write.mode("overwrite").partitionBy("_fb").parquet(path)
+            write_times["frontier"] = round(_time.time() - _t0, 2)
+
             rows = []
-            for pid, fname in enumerate(parts):
-                n = pq.ParquetFile(os.path.join(path, fname)).metadata.num_rows
-                rows.append((r, table, pid, snapshot_id, int(n)))
+            pid = 0
+            for entry in sorted(os.listdir(path)):
+                if not entry.startswith("_fb="):
+                    continue
+                bdir = os.path.join(path, entry)
+                parts = self._scan_parts(bdir)
+                n_bucket = sum(n for _f, n in parts)
+                manifest[entry[len("_fb=") :]] = {"path": bdir, "rows": n_bucket}
+                for _f, n in parts:
+                    rows.append((r, "frontier", pid, snapshot_id, n))
+                    pid += 1
+            manifest.update(carried)
+            # carried buckets appear in lineage as references (rows
+            # counted, partition id continues) so per-partition
+            # provenance covers the whole table, not just the rewrite
+            for b in sorted(carried, key=int):
+                rows.append((r, "frontier", pid, snapshot_id, int(carried[b]["rows"])))
+                pid += 1
             with _lineage_lock:
                 lineage_rows.extend(rows)
 
         # concurrent writes: Spark schedules jobs from multiple driver
         # threads, so commit wall time is the slowest table, not the sum
-        import threading
-        from concurrent.futures import ThreadPoolExecutor
-
-        _lineage_lock = threading.Lock()
-        jobs = [(frontier, self._state_path("frontier", r), "frontier"),
-                (url_seen_delta, self._state_path("url_seen", r), "url_seen")]
+        jobs = [(url_seen_delta, self._state_path("url_seen", r), "url_seen")]
+        jobs += [(df, self._state_path(name, r), name) for name, df in (extra_state or {}).items()]
         jobs += [(df, self._log_path(name, r), name) for name, df in logs.items()]
-        max_workers = int(os.environ.get("TEGENARIA_COMMIT_THREADS", str(len(jobs))))
+        max_workers = int(os.environ.get("TEGENARIA_COMMIT_THREADS", str(len(jobs) + 1)))
         if max_workers <= 1:
+            write_frontier()
             for j in jobs:
                 write(*j)
         else:
             with ThreadPoolExecutor(max_workers=max_workers) as pool:
-                futures = [pool.submit(write, *j) for j in jobs]
+                futures = [pool.submit(write_frontier)]
+                futures += [pool.submit(write, *j) for j in jobs]
                 for f in futures:
                     f.result()
         lineage_rows.sort(key=lambda t: (t[1], t[2]))
@@ -161,6 +256,8 @@ class LocalSnapshotStore:
                 "url_seen_delta": self._state_path("url_seen", r),
             },
         }
+        if "fp" in frontier.columns:
+            marker["frontier_manifest"] = manifest
         table_counts: dict[str, int] = {}
         for _, table, _, _, n in lineage_rows:
             table_counts[table] = table_counts.get(table, 0) + n
@@ -174,30 +271,90 @@ class LocalSnapshotStore:
         os.replace(tmp, final)  # the atomic commit point
         return snapshot_id, table_counts
 
+    # -- maintenance ----------------------------------------------------------
+
+    def _latest_seen_base(self, upto_round: int) -> Optional[int]:
+        base_dir = os.path.join(self.root, "state", "url_seen_base")
+        if not os.path.isdir(base_dir):
+            return None
+        rounds = [
+            int(d[1:])
+            for d in os.listdir(base_dir)
+            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) <= upto_round
+        ]
+        return max(rounds) if rounds else None
+
+    def compact_url_seen(self, upto_round: int) -> None:
+        """Merge delta dirs ≤ *upto_round* into one base snapshot —
+        read_url_seen then touches O(rounds-since-compaction) dirs
+        instead of O(rounds).  Written to a temp dir and renamed, so a
+        crash mid-compaction never corrupts reads (Iceberg's snapshot
+        expiration analog)."""
+        df = self.read_url_seen(upto_round)
+        final = self._state_path("url_seen_base", upto_round)
+        tmp = final + ".inprogress"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        df.repartition(max(1, self.fp_buckets // 4), "fp").write.mode("overwrite").parquet(tmp)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+
     # -- reads ---------------------------------------------------------------
 
     def read_frontier(self, r: int) -> DataFrame:
-        return self.spark.read.schema(FRONTIER_SCHEMA).parquet(self._state_path("frontier", r))
+        """Frontier state at end of round r via the commit manifest
+        (changed buckets from v{r}, carried buckets from their
+        last-written version)."""
+        manifest = self.frontier_manifest(r)
+        if manifest is None:
+            # pre-manifest store (or uncommitted round): flat dir read
+            path = self._state_path("frontier", r)
+            if not os.path.exists(path):
+                raise FileNotFoundError(f"no committed frontier for round {r}: {path}")
+            return self.spark.read.parquet(path)
+        paths = [m["path"] for m in manifest.values() if m.get("rows", 0) > 0]
+        if not paths:
+            return self.spark.createDataFrame([], FRONTIER_STATE_SCHEMA)
+        return self.spark.read.schema(FRONTIER_STATE_SCHEMA).parquet(*paths)
 
     def read_url_seen(self, upto_round: int) -> DataFrame:
-        paths = [
+        base = self._latest_seen_base(upto_round)
+        start = 0 if base is None else base + 1
+        paths = ([self._state_path("url_seen_base", base)] if base is not None else []) + [
             self._state_path("url_seen", i)
-            for i in range(upto_round + 1)
+            for i in range(start, upto_round + 1)
             if os.path.exists(self._state_path("url_seen", i))
         ]
         if not paths:
             return self.spark.createDataFrame([], URL_SEEN_SCHEMA)
         return self.spark.read.schema(URL_SEEN_SCHEMA).parquet(*paths)
 
+    def read_state(self, table: str, r: int) -> Optional[DataFrame]:
+        """A full-state table written via ``extra_state`` (e.g. bloom),
+        or None if that round didn't persist one."""
+        path = self._state_path(table, r)
+        if not os.path.exists(path):
+            return None
+        return self.spark.read.parquet(path)
+
     def read_log(self, table: str, upto_round: Optional[int] = None) -> DataFrame:
         base = os.path.join(self.root, "logs", table)
         if not os.path.exists(base):
             raise FileNotFoundError(base)
         last = self.last_committed_round()
+        if upto_round is None and last is None:
+            raise RuntimeError(
+                f"read_log({table!r}): no committed rounds yet — nothing to read"
+            )
         upto = last if upto_round is None else upto_round
         paths = [
             self._log_path(table, i)
             for i in range(upto + 1)
             if os.path.exists(self._log_path(table, i))
         ]
+        if not paths:
+            raise RuntimeError(
+                f"read_log({table!r}): no data dirs for rounds 0..{upto} under {base}"
+            )
         return self.spark.read.parquet(*paths)

@@ -69,10 +69,17 @@ def run_rounds_foreachBatch(
     exactly-once comes from the store's commit markers, not the stream.
     """
     spark = engine.spark
-    state = {"round": engine.store.last_committed_round() or 0, "done": False}
+    start = engine.store.last_committed_round()
+    if start is None:
+        # mirror CrawlEngine.run's resume check — an un-bootstrapped
+        # store has no frontier snapshot for the first tick to read
+        raise RuntimeError("store has no committed snapshot — bootstrap before streaming rounds")
+    # max_rounds is a budget relative to where we resume, not an
+    # absolute round index (else resuming at round ≥ max_rounds no-ops)
+    state = {"round": start, "end": start + max_rounds, "done": False}
 
     def tick(_batch_df, _batch_id):
-        if state["done"] or state["round"] >= max_rounds:
+        if state["done"] or state["round"] >= state["end"]:
             state["done"] = True
             return
         r = state["round"]
