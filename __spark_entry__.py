@@ -43,6 +43,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 _FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "expected")
 
+# bump when twin semantics change (forces fixture regeneration even at
+# an already-stamped sf_dir)
+_FIXTURE_VERSION = 2
+
 
 def _fixture_path(key: str) -> str:
     return os.path.join(_FIXTURE_DIR, f"{key}.parquet")
@@ -56,8 +60,13 @@ def _ensure_fixture(key: str, sf_dir: str, builder) -> None:
     stamp = path + ".meta.json"
     try:
         with open(stamp) as fh:
-            if json.load(fh).get("sf_dir") == sf_dir and os.path.exists(path):
-                return
+            meta = json.load(fh)
+        if (
+            meta.get("sf_dir") == sf_dir
+            and meta.get("v") == _FIXTURE_VERSION
+            and os.path.exists(path)
+        ):
+            return
     except (OSError, ValueError):
         pass
     import pyarrow as pa
@@ -69,7 +78,7 @@ def _ensure_fixture(key: str, sf_dir: str, builder) -> None:
     pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
     os.replace(tmp, path)
     with open(stamp + ".tmp", "w") as fh:
-        json.dump({"sf_dir": sf_dir, "rows": len(pdf)}, fh)
+        json.dump({"sf_dir": sf_dir, "rows": len(pdf), "v": _FIXTURE_VERSION}, fh)
     os.replace(stamp + ".tmp", stamp)
 
 

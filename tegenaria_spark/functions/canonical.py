@@ -121,12 +121,30 @@ _CANON_SCHEMA = StructType(
 )
 
 
+def _as_dict(m) -> Optional[dict]:
+    """Arrow map columns arrive in pandas as list-of-(k,v)-tuples."""
+    if m is None:
+        return None
+    if isinstance(m, dict):
+        return m or None
+    d = dict(m)
+    return d or None
+
+
 @pandas_udf(_CANON_SCHEMA)
-def canonicalize_udf(urls: pd.Series) -> pd.DataFrame:
+def canonicalize_udf(urls: pd.Series, params: pd.Series) -> pd.DataFrame:
     """Vectorized (Arrow-batched) canonicalization — the one stage that
     genuinely needs Python (urllib query re-encoding has no Catalyst
-    expression).  Everything downstream of it stays JVM-side."""
-    rows = [py_canonicalize(u) for u in urls]
+    expression).  Everything downstream of it stays JVM-side.
+
+    F7: request params fold into the URL query *before* canonicalize
+    (request.go:232-245, downloader.go:274-281), so two requests
+    differing only in params get distinct fingerprints — and identical
+    url+params pairs dedup together — exactly like the reference."""
+    rows = [
+        py_canonicalize(py_merge_params(u, _as_dict(p)) if p is not None else u)
+        for u, p in zip(urls, params)
+    ]
     return pd.DataFrame(rows, columns=["canon_url", "domain", "valid"])
 
 
@@ -162,8 +180,14 @@ def fingerprint_col(
 
 
 def with_canonical(df: DataFrame, url_col: str = "url") -> DataFrame:
-    """Add canon_url / domain / valid columns (F3 + F6 gate input)."""
-    c = canonicalize_udf(F.col(url_col))
+    """Add canon_url / domain / valid columns (F3 + F6 gate input);
+    folds the ``params`` column into the query first when present (F7)."""
+    params = (
+        F.col("params")
+        if "params" in df.columns
+        else F.lit(None).cast("map<string,string>")
+    )
+    c = canonicalize_udf(F.col(url_col), params)
     return (
         df.withColumn("_canon", c)
         .withColumn("canon_url", F.col("_canon.canon_url"))

@@ -25,7 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from tegenaria_spark.config import EngineConfig
-from tegenaria_spark.functions.canonical import py_canonicalize
+from tegenaria_spark.functions.canonical import py_canonicalize, py_merge_params
 from tegenaria_spark.sources.synth import SiteConfig, image_record, synth_page
 
 FETCH_RESULT_COLS = (
@@ -35,18 +35,54 @@ FETCH_RESULT_COLS = (
 )
 
 
-def simulate_fetch_one(url: str, site: SiteConfig, max_redirects: int) -> dict:
-    """Fetch one URL through the synthetic web, following redirects.
+def simulate_fetch_one(
+    url: str,
+    site: SiteConfig,
+    max_redirects: int,
+    params: dict | None = None,
+    cookies: dict | None = None,
+    proxy_url: str | None = None,
+    timeout_ms: int | None = None,
+    allow_redirects: bool = True,
+) -> dict:
+    """Fetch one URL through the synthetic web, honoring the
+    per-request options the reference's downloader supports
+    (downloader.go:110-146,274-329): params fold into the query before
+    the request goes out, a proxy hop adds its (deterministic) latency,
+    the redirect chain is capped per request and can be disabled
+    entirely (ErrUseLastResponse semantics: the 301 comes back as the
+    response), and the accumulated wait is checked against the
+    request's timeout.  Cookies ride with the request; the synthetic
+    web is stateless so they never alter content — both engine and
+    simulator carry them identically.
 
     Shared verbatim by the Spark UDF below and the single-threaded
     reference simulator — fetch results are identical by construction.
     """
-    current = url
-    delay = 0.0
-    for _ in range(max_redirects + 1):
+    current = py_merge_params(url, params) if params else url
+    delay = 0.0005 if proxy_url else 0.0  # deterministic proxy hop
+    _ = cookies  # carried, not content-affecting in the synthetic web
+    hops = max_redirects if allow_redirects else 0
+    for _i in range(hops + 1):
         page = synth_page(current, site)
         delay += page.delay
-        if page.status == 301 and page.redirect_to:
+        if timeout_ms is not None and delay * 1000.0 > timeout_ms:
+            return {
+                "status": 0,
+                "final_url": py_canonicalize(current)[0],
+                "delay": delay,
+                "content_length": 0,
+                "error": f"timeout after {timeout_ms} ms",
+                "outlinks": [],
+                "image_id": None,
+                "caption": None,
+                "img_fmt": None,
+                "image_bytes": None,
+                "img_w": None,
+                "img_h": None,
+                "img_phash": None,
+            }
+        if page.status == 301 and page.redirect_to and allow_redirects:
             current = page.redirect_to
             continue
         result = {
@@ -98,9 +134,40 @@ def fetch_stage(selected: DataFrame, site: SiteConfig, cfg: EngineConfig) -> Dat
     full_schema = out_schema + ", " + FETCH_RESULT_COLS
     max_redirects = cfg.max_redirects
 
+    def _as_dict(m):
+        if m is None:
+            return None
+        return (m if isinstance(m, dict) else dict(m)) or None
+
     def _fetch_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = set()
+
+        def col(pdf, name, default=None):
+            return pdf[name] if name in cols else [default] * len(pdf)
+
         for pdf in batches:
-            results = [simulate_fetch_one(u, site, max_redirects) for u in pdf["url"]]
+            cols = set(pdf.columns)
+            results = [
+                simulate_fetch_one(
+                    u,
+                    site,
+                    max_redirects if mr is None or pd.isna(mr) else int(mr),
+                    params=_as_dict(pr),
+                    cookies=_as_dict(ck),
+                    proxy_url=px if isinstance(px, str) and px else None,
+                    timeout_ms=None if tm is None or pd.isna(tm) else int(tm),
+                    allow_redirects=True if ar is None or pd.isna(ar) else bool(ar),
+                )
+                for u, pr, ck, px, tm, mr, ar in zip(
+                    pdf["url"],
+                    col(pdf, "params"),
+                    col(pdf, "cookies"),
+                    col(pdf, "proxy_url"),
+                    col(pdf, "timeout_ms"),
+                    col(pdf, "max_redirects"),
+                    col(pdf, "allow_redirects"),
+                )
+            ]
             res = pd.DataFrame(results)
             # a batch mixing None with int64 coerces to float64, and a
             # 64-bit hash silently loses its low 11 bits to the float

@@ -173,6 +173,13 @@ def links_to_candidates(links_with_seq: DataFrame, round_no: int, next_fetch_tim
         next_fetch_time_col.alias("next_fetch_time"),
         F.lit(0).cast("int").alias("retries"),
         F.lit(round_no + 1).cast("int").alias("round_added"),
+        # children fetch with engine defaults (quotes spider enqueues
+        # next-page requests with default options, spider.go:74-88)
+        F.lit(None).cast("map<string,string>").alias("cookies"),
+        F.lit(None).cast("string").alias("proxy_url"),
+        F.lit(None).cast("int").alias("timeout_ms"),
+        F.lit(None).cast("int").alias("max_redirects"),
+        F.lit(None).cast("boolean").alias("allow_redirects"),
     )
 
 
@@ -185,6 +192,7 @@ def retry_candidates(failed: DataFrame, round_no: int, cfg: EngineConfig, next_f
         "ctx_id", "url", "method", "headers", "body", "params", "meta", "parser",
         "do_not_filter", "allow_status", "priority", "enqueue_seq",
         "next_fetch_time", "retries", "round_added",
+        "cookies", "proxy_url", "timeout_ms", "max_redirects", "allow_redirects",
         # scheduling state already computed pre-fetch — no recanonicalization
         "canon_url", "domain", "fp",
     ]

@@ -139,15 +139,37 @@ def schedule_round(
     )
 
 
-def salt_for_fetch(selected: DataFrame, cfg: EngineConfig) -> DataFrame:
+def salt_for_fetch(
+    selected: DataFrame, cfg: EngineConfig, domain_budget: DataFrame = None
+) -> DataFrame:
     """Explicit hot-domain kill: spread each domain over S fetch tasks.
 
-    ``salt = pmod(hash(domain), P)·S + pmod(hash(url), S)`` — same
+    ``salt = pmod(hash(domain), P)·S + pmod(hash(url), width)`` — same
     domain stays within an S-slot band (politeness already applied), a
-    hot domain no longer serializes a round."""
+    hot domain no longer serializes a round.
+
+    Q4 (request.go:71 MaxConnsPerHost): with a budget dim, a domain's
+    slot width is ``min(S, max_conns)`` — a domain never occupies more
+    concurrent fetch tasks than its connection cap, which is exactly
+    what the reference's per-host transport limit enforces."""
     p = cfg.shuffle_partitions
     s = cfg.domain_salt_width
-    salt = (F.pmod(F.hash("domain"), F.lit(p)) * s + F.pmod(F.hash("canon_url"), F.lit(s))).alias(
+    if domain_budget is not None and "max_conns" in domain_budget.columns:
+        dim = F.broadcast(
+            domain_budget.select(
+                F.col("domain").alias("_mc_domain"), F.col("max_conns").alias("_max_conns")
+            )
+        )
+        sel = selected.join(dim, F.col("domain") == F.col("_mc_domain"), "left").drop(
+            "_mc_domain"
+        )
+        width = F.greatest(
+            F.lit(1), F.least(F.lit(s), F.coalesce(F.col("_max_conns"), F.lit(s)))
+        )
+    else:
+        sel = selected
+        width = F.lit(s)
+    salt = (F.pmod(F.hash("domain"), F.lit(p)) * s + F.pmod(F.hash("canon_url"), width)).alias(
         "_salt"
     )
-    return selected.repartition(p * s, salt)
+    return sel.repartition(p * s, salt).drop("_max_conns")

@@ -302,7 +302,9 @@ class CrawlEngine:
         sleeping = decided.filter(F.col("sched") == "sleeping").drop("sched")
         mark("schedule")
 
-        fetched = check_status(fetch_stage(salt_for_fetch(selected, cfg), site, cfg))
+        fetched = check_status(
+            fetch_stage(salt_for_fetch(selected, cfg, self.budgets), site, cfg)
+        )
         fetched = pin(fetched)  # cut lineage; fetch runs once
         mark("fetch")
         ok = fetched.filter(F.col("error").isNull())

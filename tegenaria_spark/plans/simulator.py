@@ -17,7 +17,11 @@ from dataclasses import dataclass, field
 from typing import Optional
 
 from tegenaria_spark.config import EngineConfig
-from tegenaria_spark.functions.canonical import py_canonicalize, py_fingerprint
+from tegenaria_spark.functions.canonical import (
+    py_canonicalize,
+    py_fingerprint,
+    py_merge_params,
+)
 from tegenaria_spark.operators.fetch import simulate_fetch_one
 from tegenaria_spark.sources.synth import SiteConfig, image_record
 
@@ -36,6 +40,12 @@ class SimRequest:
     enqueue_seq: int
     next_round: int
     retries: int
+    params: Optional[dict] = None
+    cookies: Optional[dict] = None
+    proxy_url: Optional[str] = None
+    timeout_ms: Optional[int] = None
+    max_redirects: Optional[int] = None
+    allow_redirects: bool = True
     canon_url: str = ""
     domain: str = ""
     fp: int = 0
@@ -77,12 +87,14 @@ def simulate_crawl(
         """The dedup gate at enqueue time (writeCache, engine.go:346-377):
         sequential TestOrAdd order = ascending enqueue_seq."""
         for q in sorted(reqs, key=lambda x: x.enqueue_seq):
-            canon, domain, valid = py_canonicalize(q.url)
+            # F7: params fold into the URL before canonicalize/fingerprint
+            merged = py_merge_params(q.url, q.params) if q.params else q.url
+            canon, domain, valid = py_canonicalize(merged)
             if not valid:
                 res.fetch_log.append((round_no, q.enqueue_seq, q.ctx_id, q.url, domain, None, "invalid"))
                 continue
             q.canon_url, q.domain = canon, domain
-            q.fp = py_fingerprint(q.method, q.url, q.body, q.headers)
+            q.fp = py_fingerprint(q.method, merged, q.body, q.headers)
             if q.do_not_filter:
                 frontier.append(q)
                 continue
@@ -107,6 +119,14 @@ def simulate_crawl(
             enqueue_seq=r["enqueue_seq"],
             next_round=0,
             retries=0,
+            params=r.get("params"),
+            cookies=r.get("cookies"),
+            proxy_url=r.get("proxy_url"),
+            timeout_ms=r.get("timeout_ms"),
+            max_redirects=r.get("max_redirects"),
+            allow_redirects=(
+                True if r.get("allow_redirects") is None else bool(r["allow_redirects"])
+            ),
         )
         for r in seed_rows
     ]
@@ -149,7 +169,16 @@ def simulate_crawl(
         links: list[tuple] = []  # (parent_seq, parent_priority, pos, url)
         retries: list[SimRequest] = []
         for q in selected:
-            f = simulate_fetch_one(q.url, site, cfg.max_redirects)
+            f = simulate_fetch_one(
+                q.url,
+                site,
+                cfg.max_redirects if q.max_redirects is None else q.max_redirects,
+                params=q.params,
+                cookies=q.cookies,
+                proxy_url=q.proxy_url,
+                timeout_ms=q.timeout_ms,
+                allow_redirects=q.allow_redirects,
+            )
             error = f["error"]
             if error is None and f["status"] >= 400 and f["status"] not in q.allow_status:
                 error = f"disallowed status {f['status']}"

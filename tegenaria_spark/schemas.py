@@ -39,6 +39,15 @@ FRONTIER_SCHEMA = StructType(
         StructField("next_fetch_time", TimestampType(), False),
         StructField("retries", IntegerType(), False),
         StructField("round_added", IntegerType(), False),
+        # per-request fetch options (request.go:41-77): null ⇒ engine
+        # defaults.  cookies ride to the fetch; proxy_url routes it;
+        # timeout_ms bounds it; max_redirects/allow_redirects cap the
+        # redirect chain per request (downloader.go:110-146)
+        StructField("cookies", MapType(StringType(), StringType()), True),
+        StructField("proxy_url", StringType(), True),
+        StructField("timeout_ms", IntegerType(), True),
+        StructField("max_redirects", IntegerType(), True),
+        StructField("allow_redirects", BooleanType(), True),
     ]
 )
 

@@ -179,10 +179,21 @@ def image_record(image_id: str, caption: str, fmt: str, cfg: SiteConfig) -> dict
 # ---------------------------------------------------------------------------
 
 
-def seed_urls(cfg: SiteConfig, n_seeds: int, dup_ratio: float = 0.2, seed: int = 7) -> list[dict]:
+def seed_urls(
+    cfg: SiteConfig,
+    n_seeds: int,
+    dup_ratio: float = 0.2,
+    seed: int = 7,
+    option_ratio: float = 0.0,
+) -> list[dict]:
     """Deterministic seed list with Zipf-skewed domains, ~dup_ratio
     semantically-duplicate URLs (shuffled query order / fragments) and a
-    few do_not_filter rows (mirrors dupefilters_test.go:30-42)."""
+    few do_not_filter rows (mirrors dupefilters_test.go:30-42).
+
+    ``option_ratio`` > 0 sprinkles per-request fetch options over the
+    seeds (params / cookies / proxy / timeout / redirect caps — the
+    reference downloader's test matrix, downloader_test.go:29-282) so
+    parity tests exercise every option path end-to-end."""
     rng = np.random.RandomState(seed)
     ranks = np.arange(1, cfg.n_domains + 1, dtype=np.float64)
     probs = ranks ** (-cfg.zipf_a)
@@ -192,6 +203,29 @@ def seed_urls(cfg: SiteConfig, n_seeds: int, dup_ratio: float = 0.2, seed: int =
         d = int(rng.choice(cfg.n_domains, p=probs))
         p = int(rng.randint(0, cfg.pages_per_domain))
         shuffle = int(rng.randint(0, 3)) if rng.rand() < dup_ratio else 0
+        opts: dict = {
+            "params": None,
+            "cookies": None,
+            "proxy_url": None,
+            "timeout_ms": None,
+            "max_redirects": None,
+            "allow_redirects": True,
+        }
+        # short-circuit keeps the rng stream identical to option-less
+        # callers (committed fixtures depend on the draw sequence)
+        if option_ratio > 0 and rng.rand() < option_ratio:
+            kind = i % 5
+            if kind == 0:
+                opts["params"] = {"extra": str(i % 7), "trk": "abc"}
+            elif kind == 1:
+                opts["cookies"] = {"session": f"s{i:04d}"}
+            elif kind == 2:
+                opts["proxy_url"] = "http://proxy-01.example.test:8080"
+            elif kind == 3:
+                opts["timeout_ms"] = 3  # some pages exceed this → timeout+retry
+            else:
+                opts["max_redirects"] = 0 if i % 2 else None
+                opts["allow_redirects"] = bool(i % 2)
         rows.append(
             {
                 "ctx_id": f"seed-{i:06d}",
@@ -199,7 +233,6 @@ def seed_urls(cfg: SiteConfig, n_seeds: int, dup_ratio: float = 0.2, seed: int =
                 "method": "GET",
                 "headers": {"User-Agent": "tegenaria-spark/0.1"},
                 "body": None,
-                "params": None,
                 "meta": None,
                 "parser": "image_parser",
                 "do_not_filter": bool(rng.rand() < 0.02),
@@ -208,6 +241,7 @@ def seed_urls(cfg: SiteConfig, n_seeds: int, dup_ratio: float = 0.2, seed: int =
                 "enqueue_seq": i,
                 "retries": 0,
                 "round_added": 0,
+                **opts,
             }
         )
     return rows
@@ -251,6 +285,11 @@ def seed_frontier_df(spark, cfg: SiteConfig, n_seeds: int, default_budget: int =
         F.col("id").alias("enqueue_seq"),
         F.lit(0).cast("int").alias("retries"),
         F.lit(0).cast("int").alias("round_added"),
+        F.lit(None).cast("map<string,string>").alias("cookies"),
+        F.lit(None).cast("string").alias("proxy_url"),
+        F.lit(None).cast("int").alias("timeout_ms"),
+        F.lit(None).cast("int").alias("max_redirects"),
+        F.lit(None).cast("boolean").alias("allow_redirects"),
     )
 
 
