@@ -58,6 +58,27 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
+def run_crawl_subprocess(master: str, cpus: int) -> dict:
+    """Run one crawl level in a FRESH Python process.
+
+    Two SparkSessions sequentially in one Python process share leftover
+    py4j/accumulator server state — the JVM side then logs spurious
+    `PythonAccumulatorV2 ... Broken pipe` ERRORs against the dead
+    session's socket (harmless but alarming in recorded output) and the
+    second session inherits a warmed-but-fragmented heap.  A subprocess
+    per level gives each measurement a pristine driver."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--crawl", master, str(cpus)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
 def run_crawl(master: str, cpus: int) -> dict:
     """One fixed crawl workload; returns round throughput.
 
@@ -71,7 +92,7 @@ def run_crawl(master: str, cpus: int) -> dict:
     from tegenaria_spark.sources.store import LocalSnapshotStore
     from tegenaria_spark.sources.synth import SiteConfig, domain_budgets, seed_frontier_df
 
-    budget = 128
+    budget = int(os.environ.get("SPARK_GRAFT_BUDGET", "128"))
     cfg = EngineConfig(
         # partitioning is a property of the DATA, not the cluster size:
         # both parallelism levels run the identical plan with identical
@@ -80,7 +101,7 @@ def run_crawl(master: str, cpus: int) -> dict:
         shuffle_partitions=32,
         domain_salt_width=2,
         default_budget_per_round=budget,
-        bloom_min_seen=1 << 62,  # bloom off for the bench: seen-set fits the anti-join
+        bloom_enabled=False,  # bloom off for the bench: seen-set fits the anti-join
         max_retries=0,
         # production observability: aggregate metrics for every outcome,
         # per-row log rows only for real fetch attempts
@@ -91,13 +112,16 @@ def run_crawl(master: str, cpus: int) -> dict:
         extra_spark_conf={
             "spark.local.dir": "/dev/shm/tegenaria-spark-local",
             # local mode = one JVM for driver+executors; checkpointed
-            # image payloads need real heap (the box has 125 GiB)
+            # image payloads need real heap (the box has 125 GiB).
+            # Measured: 48g made warm-up GC stalls WORSE than 24g on
+            # this VM (60 s all-table commit stalls in round 1)
             "spark.driver.memory": "24g",
         },
     )
     site = SiteConfig(
         n_domains=512,
-        pages_per_domain=600,
+        pages_per_domain=1200,  # URL space >> 5 rounds × 65k fetches: no
+        # late-round starvation inside the measured window
         max_outlinks=6,
         image_ratio=1.0,
         img_scale=2,
@@ -113,6 +137,13 @@ def run_crawl(master: str, cpus: int) -> dict:
         t0 = time.time()
         engine.bootstrap(seeds)
         bootstrap_wall = time.time() - t0
+        # warm-up rounds (whole-stage-codegen JIT, parquet writer init,
+        # python-worker pool spin-up) run at BOTH levels and are excluded
+        # from the measured window — the first rounds of a fresh JVM
+        # measure the JIT, not the engine (measured: one warm-up round
+        # still left the next round 2× slow; two stabilize it)
+        warmup_rounds = int(os.environ.get("SPARK_GRAFT_WARMUP_ROUNDS", "2"))
+        warm = engine.run(resume=True, max_rounds=warmup_rounds)
         summary = engine.run(resume=True, max_rounds=3)
         rounds_wall = sum(r.wall_s for r in summary.rounds)
         fetched = summary.total_fetched
@@ -121,6 +152,7 @@ def run_crawl(master: str, cpus: int) -> dict:
         ]
         return {
             "bootstrap_s": round(bootstrap_wall, 2),
+            "warmup_round_s": round(sum(r.wall_s for r in warm.rounds), 2),
             "rounds_wall_s": round(rounds_wall, 2),
             "fetched": fetched,
             "items": summary.total_items,
@@ -140,6 +172,11 @@ def run_crawl(master: str, cpus: int) -> dict:
 
 def main() -> None:
     from tegenaria_spark.session import get_spark
+
+    if len(sys.argv) >= 4 and sys.argv[1] == "--crawl":
+        # child mode: one crawl level in this (fresh) process
+        print(json.dumps(run_crawl(sys.argv[2], int(sys.argv[3]))))
+        return
 
     # query timings must not include oracle-fixture regeneration (that
     # is driver-contract work, not engine work)
@@ -171,20 +208,43 @@ def main() -> None:
         # with SPARK_GRAFT_SCALE_LEVELS="8,32" etc.
         levels = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8")
         lo_cpus, hi_cpus = (int(x) for x in levels.split(","))
-        crawl_lo = run_crawl(f"local[{lo_cpus}]", lo_cpus)
-        crawl_hi = run_crawl(f"local[{hi_cpus}]", hi_cpus)
         ratio = hi_cpus / lo_cpus
-        eff = (crawl_hi["fetched_per_sec"] / crawl_lo["fetched_per_sec"]) / ratio
-        eff_best = (
-            crawl_hi["fetched_per_sec_best"] / crawl_lo["fetched_per_sec_best"]
-        ) / ratio
+        # run the (N, 4N) pair several times and report the MEDIAN
+        # efficiency: identical runs on this shared VM vary 2-3× wall
+        # (BENCH.md §3), so a single pair is a coin flip — the headline
+        # must be an aggregate of repeats, with every run recorded
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+        runs = []
+        for i in range(repeats):
+            crawl_lo = run_crawl_subprocess(f"local[{lo_cpus}]", lo_cpus)
+            crawl_hi = run_crawl_subprocess(f"local[{hi_cpus}]", hi_cpus)
+            runs.append(
+                {
+                    f"local[{lo_cpus}]": crawl_lo,
+                    f"local[{hi_cpus}]": crawl_hi,
+                    "eff": round(
+                        (crawl_hi["fetched_per_sec"] / crawl_lo["fetched_per_sec"]) / ratio, 3
+                    ),
+                    "eff_best_round": round(
+                        (crawl_hi["fetched_per_sec_best"] / crawl_lo["fetched_per_sec_best"])
+                        / ratio,
+                        3,
+                    ),
+                }
+            )
+        effs = sorted(r["eff"] for r in runs)
+        med = effs[len(effs) // 2] if len(effs) % 2 else (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
+        last = runs[-1]
         result["crawl"] = {
-            f"local[{lo_cpus}]": crawl_lo,
-            f"local[{hi_cpus}]": crawl_hi,
-            "fetched_urls_per_sec_lo": crawl_lo["fetched_per_sec"],
-            "fetched_urls_per_sec_hi": crawl_hi["fetched_per_sec"],
-            "scaling_efficiency": round(eff, 3),
-            "scaling_efficiency_best_round": round(eff_best, 3),
+            f"local[{lo_cpus}]": last[f"local[{lo_cpus}]"],
+            f"local[{hi_cpus}]": last[f"local[{hi_cpus}]"],
+            "fetched_urls_per_sec_lo": last[f"local[{lo_cpus}]"]["fetched_per_sec"],
+            "fetched_urls_per_sec_hi": last[f"local[{hi_cpus}]"]["fetched_per_sec"],
+            "runs": [
+                {"eff": r["eff"], "eff_best_round": r["eff_best_round"]} for r in runs
+            ],
+            "scaling_efficiency": round(med, 3),
+            "scaling_efficiency_best_round": max(r["eff_best_round"] for r in runs),
         }
 
     print(json.dumps(result))

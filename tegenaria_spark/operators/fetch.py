@@ -140,13 +140,10 @@ def fetch_stage(selected: DataFrame, site: SiteConfig, cfg: EngineConfig) -> Dat
         return (m if isinstance(m, dict) else dict(m)) or None
 
     def _fetch_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = set()
-
-        def col(pdf, name, default=None):
-            return pdf[name] if name in cols else [default] * len(pdf)
+        def _opt(pdf, name, default=None):
+            return pdf[name] if name in pdf.columns else [default] * len(pdf)
 
         for pdf in batches:
-            cols = set(pdf.columns)
             results = [
                 simulate_fetch_one(
                     u,
@@ -160,12 +157,12 @@ def fetch_stage(selected: DataFrame, site: SiteConfig, cfg: EngineConfig) -> Dat
                 )
                 for u, pr, ck, px, tm, mr, ar in zip(
                     pdf["url"],
-                    col(pdf, "params"),
-                    col(pdf, "cookies"),
-                    col(pdf, "proxy_url"),
-                    col(pdf, "timeout_ms"),
-                    col(pdf, "max_redirects"),
-                    col(pdf, "allow_redirects"),
+                    _opt(pdf, "params"),
+                    _opt(pdf, "cookies"),
+                    _opt(pdf, "proxy_url"),
+                    _opt(pdf, "timeout_ms"),
+                    _opt(pdf, "max_redirects"),
+                    _opt(pdf, "allow_redirects"),
                 )
             ]
             res = pd.DataFrame(results)

@@ -181,18 +181,29 @@ def _shingle_hashes(t: str, k: int) -> np.ndarray:
 
 def minhash_signature_udf(n_perm: int = 64, shingle_k: int = 3, seed: int = 42):
     """Vectorized MinHash over character k-shingles:
-    sig_j = min over shingles of (a_j·h + b_j) mod Mersenne61."""
+    sig_j = min over shingles of (a_j·h + b_j) mod Mersenne61.
+
+    Batch-vectorized: all documents' shingle hashes concatenate into one
+    flat array and each permutation reduces it with
+    ``np.minimum.reduceat`` over the document boundaries — one pass of
+    full-width numpy ops per permutation instead of a Python iteration
+    per document (identical results to the per-doc form: min is
+    order-independent and the hash arithmetic is elementwise)."""
     a, b = _minhash_params(n_perm, seed)
 
     @pandas_udf(ArrayType(LongType()))
     def signature(texts: pd.Series) -> pd.Series:
-        out = []
         m = np.uint64(_MERSENNE)
-        for t in texts:
-            hv = _shingle_hashes(t, shingle_k)
-            sig = ((a[:, None] * hv[None, :] + b[:, None]) % m).min(axis=1)
-            out.append(sig.astype(np.int64).tolist())
-        return pd.Series(out)
+        hvs = [_shingle_hashes(t, shingle_k) for t in texts]
+        if not hvs:
+            return pd.Series([], dtype=object)
+        flat = np.concatenate(hvs)
+        starts = np.cumsum([0] + [len(h) for h in hvs[:-1]])
+        sigs = np.empty((n_perm, len(hvs)), dtype=np.int64)
+        for j in range(n_perm):
+            vals = (a[j] * flat + b[j]) % m
+            sigs[j] = np.minimum.reduceat(vals, starts).astype(np.int64)
+        return pd.Series(sigs.T.tolist())
 
     return signature
 

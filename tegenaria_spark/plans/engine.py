@@ -45,6 +45,7 @@ from tegenaria_spark.operators.dedup import (
     dedup_gate,
     url_seen_delta,
 )
+from tegenaria_spark.plans import events as ev
 from tegenaria_spark.operators.fetch import check_status, fetch_stage
 from tegenaria_spark.operators.metrics import collect_round_counters, round_metrics_rows
 from tegenaria_spark.operators.parse import (
@@ -137,7 +138,10 @@ class CrawlEngine:
         cfg: EngineConfig = DEFAULT_CONFIG,
         robots_rows: Optional[list[dict]] = None,
         budget_rows: Optional[list[dict]] = None,
+        plugins=None,
     ):
+        from tegenaria_spark.operators.plugins import PluginSet
+
         self.spark = spark
         self.store = store
         self.site = site
@@ -155,6 +159,11 @@ class CrawlEngine:
         self._seen_cache_round = -1
         self._bloom_state = None  # per-bucket bitmap DF, pinned
         self._bloom_mk = bloom_bucket_params(cfg.bloom_n, cfg.bloom_p, cfg.bloom_buckets)
+        # user extension points: lifecycle events (events.go:30-148) and
+        # the middleware/pipeline chains (middlewares.go:27-42,
+        # pipelines.go:28-33)
+        self.events = ev.EventBus()
+        self.plugins = plugins if plugins is not None else PluginSet()
 
     # ------------------------------------------------------------------
     # bootstrap: seeds pass the same dedup gate as outlinks (S1 → S2)
@@ -302,8 +311,14 @@ class CrawlEngine:
         sleeping = decided.filter(F.col("sched") == "sleeping").drop("sched")
         mark("schedule")
 
+        # request middlewares (ascending priority) see the selected batch
+        # just before it fetches; response middlewares (descending) see
+        # the raw fetch output before the status gate — M1/M2 hook points
+        to_fetch = self.plugins.request_middlewares.apply(
+            salt_for_fetch(selected, cfg, self.budgets)
+        )
         fetched = check_status(
-            fetch_stage(salt_for_fetch(selected, cfg, self.budgets), site, cfg)
+            self.plugins.response_middlewares.apply(fetch_stage(to_fetch, site, cfg))
         )
         fetched = pin(fetched)  # cut lineage; fetch runs once
         mark("fetch")
@@ -311,6 +326,7 @@ class CrawlEngine:
         failed = fetched.filter(F.col("error").isNotNull())
 
         items, links = run_parsers(ok)
+        items = self.plugins.item_pipelines.apply(items)
         links_seq = assign_enqueue_seq(links, r + 1, cfg, pin=pin)
         mark("parse_seq")
         next_ts = round_ts_expr(r + 1, cfg)
@@ -398,6 +414,9 @@ class CrawlEngine:
         for df in pins:
             df.unpersist()
         mark("commit")
+        marker = self.store._marker(r + 1)
+        if marker:
+            timings["commit_tables"] = marker.get("write_times", {})
 
         return RoundResult(
             round_no=r,
@@ -432,13 +451,23 @@ class CrawlEngine:
             self.bootstrap(seed_rows)
             start = 0
 
+        self.events.emit(ev.START, round_no=start, resumed=resume)
         summary = CrawlSummary()
         r = start
-        while r < start + max_rounds:
-            frontier, url_seen = self._read_state(r)
-            if frontier.isEmpty():
-                break
-            result = self.run_round(r, frontier, url_seen)
-            summary.rounds.append(result)
-            r += 1
+        try:
+            while r < start + max_rounds:
+                frontier, url_seen = self._read_state(r)
+                if frontier.isEmpty():
+                    break
+                self.events.emit(ev.ROUND_START, round_no=r)
+                result = self.run_round(r, frontier, url_seen)
+                summary.rounds.append(result)
+                # one tick == one round: the reference's heartbeat ticker
+                self.events.emit(ev.HEARTBEAT, round_no=r, fetched=result.n_fetched)
+                self.events.emit(ev.ROUND_END, round_no=r, result=result)
+                r += 1
+        except Exception as e:  # noqa: BLE001 — notify hooks, then re-raise
+            self.events.emit(ev.ERROR, round_no=r, error=e)
+            raise
+        self.events.emit(ev.STOP, round_no=r, total_fetched=summary.total_fetched)
         return summary

@@ -151,3 +151,73 @@ def test_lineage_rows_written(spark, tmp_store_dir):
     tables = {r["table"] for r in rows}
     assert {"frontier", "url_seen", "fetch_log"} <= tables
     assert all(r["snapshot_id"].startswith("snap-") for r in rows)
+
+
+def test_event_hooks_fire_in_order(spark, tmp_store_dir):
+    """events.go:30-148 surface: START → (ROUND_START → HEARTBEAT →
+    ROUND_END)×rounds → STOP; a raising handler is contained."""
+    from tegenaria_spark.plans import events as ev
+    from tegenaria_spark.plans.engine import CrawlEngine
+    from tegenaria_spark.sources.store import LocalSnapshotStore
+    from tegenaria_spark.sources.synth import SiteConfig, seed_urls
+
+    site = SiteConfig(n_domains=3, pages_per_domain=6)
+    store = LocalSnapshotStore(tmp_store_dir, spark)
+    engine = CrawlEngine(spark, store, site, CFG)
+
+    seen: list[str] = []
+    for name in (ev.START, ev.ROUND_START, ev.HEARTBEAT, ev.ROUND_END, ev.STOP):
+        engine.events.register(name, lambda _n=name, **kw: seen.append(_n))
+    engine.events.register(ev.ROUND_START, lambda **kw: 1 / 0)  # contained
+
+    summary = engine.run(seed_urls(site, n_seeds=6), max_rounds=10)
+    n = len(summary.rounds)
+    assert n >= 1
+    assert seen[0] == ev.START and seen[-1] == ev.STOP
+    assert seen.count(ev.ROUND_START) == n
+    assert seen.count(ev.HEARTBEAT) == n
+    assert seen.count(ev.ROUND_END) == n
+    # per-round ordering
+    per_round = seen[1:-1]
+    for i in range(n):
+        assert per_round[3 * i : 3 * i + 3] == [ev.ROUND_START, ev.HEARTBEAT, ev.ROUND_END]
+
+
+def test_plugin_chains_run_in_priority_order(spark, tmp_store_dir):
+    """middlewares.go:27-42 / pipelines.go:28-33 surface: request
+    middlewares ascend, response middlewares descend, item pipelines
+    can drop items before the store commit."""
+    import pyspark.sql.functions as F
+
+    from tegenaria_spark.operators.plugins import PluginSet, TransformChain
+    from tegenaria_spark.plans.engine import CrawlEngine
+    from tegenaria_spark.sources.store import LocalSnapshotStore
+    from tegenaria_spark.sources.synth import SiteConfig, seed_urls
+
+    chain = TransformChain()
+    chain.add(lambda df: df.withColumn("_trace", F.lit("a")), priority=10)
+    chain.add(lambda df: df.withColumn("_trace", F.concat("_trace", F.lit("b"))), priority=20)
+    resp = TransformChain(reverse=True)
+    resp.add(lambda df: df.withColumn("_rt", F.lit("low")), priority=10)
+    resp.add(lambda df: df.withColumn("_rt", F.lit("high")), priority=20)  # runs FIRST
+    pipes = TransformChain()
+    pipes.add(lambda df: df.filter(F.col("w") % 2 == 0))  # drop odd-width items
+
+    # chain-order semantics, directly observable on a tiny frame
+    probe = spark.range(1)
+    assert chain.apply(probe).collect()[0]["_trace"] == "ab"  # ascending
+    assert resp.apply(probe).collect()[0]["_rt"] == "low"  # descending: high first
+
+    plugins = PluginSet(request_middlewares=chain, response_middlewares=resp, item_pipelines=pipes)
+    site = SiteConfig(n_domains=3, pages_per_domain=8, image_ratio=1.0)
+    store = LocalSnapshotStore(tmp_store_dir, spark)
+    engine = CrawlEngine(spark, store, site, CFG, plugins=plugins)
+    engine.run(seed_urls(site, n_seeds=8), max_rounds=4)
+
+    items = store.read_log("items").collect()
+    assert items, "pipeline dropped everything — expected some even-width items"
+    assert all(r["w"] % 2 == 0 for r in items)
+    # the ascending request chain composed a→ab; the descending response
+    # chain ended on the low-priority value
+    log = store.read_log("fetch_log")
+    assert log.count() > 0

@@ -156,3 +156,34 @@ def test_ppjoin_filters_are_exact(spark, rng):
             if u and i * 100 >= 80 * u:
                 want.add((a, b))
     assert got == want
+
+
+def test_fetch_stage_survives_multiple_arrow_batches(spark):
+    """Regression: per-batch option handling must survive >1 Arrow batch
+    per partition (a loop variable once shadowed the option helper and
+    only the second batch crashed — single-batch tests missed it)."""
+    from datetime import datetime, timezone
+
+    from tegenaria_spark.config import EngineConfig
+    from tegenaria_spark.functions.canonical import with_canonical, with_fingerprint
+    from tegenaria_spark.operators.fetch import fetch_stage
+    from tegenaria_spark.schemas import FRONTIER_SCHEMA
+    from tegenaria_spark.sources.synth import SiteConfig, seed_urls
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        site = SiteConfig(n_domains=2, pages_per_domain=10)
+        ts0 = datetime.fromtimestamp(1_700_000_000, tz=timezone.utc)
+        rows = [
+            {**r, "next_fetch_time": ts0}
+            for r in seed_urls(site, n_seeds=40, option_ratio=0.5)
+        ]
+        df = with_fingerprint(with_canonical(spark.createDataFrame(rows, FRONTIER_SCHEMA)))
+        df = df.filter("valid").coalesce(1)  # 1 partition ⇒ 5 Arrow batches
+        out = fetch_stage(df, site, EngineConfig()).collect()
+        assert len(out) == 40
+        assert all(r["status"] is not None for r in out)
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
