@@ -382,24 +382,33 @@ class CrawlEngine:
         fetch_log = pin(fetch_log)
         mark("dedup_log")
 
-        n_items = items.count()
-        counts, status_counts = collect_round_counters(fetch_log)
-        metrics = self.spark.createDataFrame(
-            round_metrics_rows(counts, status_counts, n_items, r), METRICS_SCHEMA
-        )
-        mark("counts")
+        # three independent small jobs (item count, outcome counters,
+        # changed-bucket set) run concurrently — each is sub-second of
+        # work but a full job-scheduling round-trip; serialized they are
+        # pure per-round constant that scaling can't amortize
+        from concurrent.futures import ThreadPoolExecutor
+
         # commit I/O ∝ churn: only fp-buckets touched this round rewrite
         # (ready rows left/changed; fresh/retry rows entered) — sleeping
         # buckets carry over by manifest reference
         ready_fps = decided.filter(F.col("sched") != "sleeping").select("fp")
-        changed_buckets = [
-            row["b"]
-            for row in ready_fps.unionByName(fresh.select("fp"))
+        bucket_df = (
+            ready_fps.unionByName(fresh.select("fp"))
             .select(F.pmod(F.col("fp"), F.lit(cfg.fp_buckets)).cast("int").alias("b"))
             .distinct()
-            .collect()
-        ]
+        )
+        with ThreadPoolExecutor(max_workers=3) as side:
+            items_fut = side.submit(items.count)
+            counters_fut = side.submit(collect_round_counters, fetch_log)
+            buckets_fut = side.submit(lambda: [row["b"] for row in bucket_df.collect()])
+            n_items = items_fut.result()
+            counts, status_counts = counters_fut.result()
+            changed_buckets = buckets_fut.result()
+        metrics = self.spark.createDataFrame(
+            round_metrics_rows(counts, status_counts, n_items, r), METRICS_SCHEMA
+        )
         bloom_state = self._advance_bloom_state(seen_delta)
+        mark("counts")
         snapshot_id, table_counts = self.store.commit_round(
             r + 1,
             new_frontier,
