@@ -6,9 +6,10 @@
 
 The CLI replaces the reference's cobra command
 (/root/reference/command/command.go:42-62) and gRPC control plane
-(service/service.go): start = run, pause = kill the driver, resume =
-rerun with --resume (picks up from the last committed snapshot),
-status = read the metrics/lineage tables of the store.
+(service/service.go): start = run, pause = `engine.request_pause()` (or
+kill the driver — the commit marker is the checkpoint either way),
+resume = rerun with --resume (picks up from the last committed
+snapshot), status = `--status` (commit-metadata read, no Spark jobs).
 """
 
 from __future__ import annotations
@@ -28,6 +29,11 @@ def parse_args(argv):
     p.add_argument("--budget", type=int, default=16)
     p.add_argument("--workdir", required=True, help="snapshot store root")
     p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--status",
+        action="store_true",
+        help="print crawl status from commit metadata (no crawl, no Spark jobs)",
+    )
     p.add_argument("--master", default=None)
     return p.parse_args(argv)
 
@@ -50,6 +56,11 @@ def main(argv=None) -> int:
     site = SiteConfig(n_domains=args.domains, pages_per_domain=args.pages)
     spark = get_spark("tegenaria-crawl", master=args.master, config=cfg)
     store = LocalSnapshotStore(args.workdir, spark)
+    if args.status:
+        engine = CrawlEngine(spark, store, site, cfg)
+        print(json.dumps(engine.status()))
+        spark.stop()
+        return 0
     engine = CrawlEngine(
         spark,
         store,

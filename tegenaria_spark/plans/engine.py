@@ -164,6 +164,7 @@ class CrawlEngine:
         # pipelines.go:28-33)
         self.events = ev.EventBus()
         self.plugins = plugins if plugins is not None else PluginSet()
+        self._pause_requested = False
 
     # ------------------------------------------------------------------
     # bootstrap: seeds pass the same dedup gate as outlinks (S1 → S2)
@@ -465,6 +466,13 @@ class CrawlEngine:
         r = start
         try:
             while r < start + max_rounds:
+                if self._pause_requested:
+                    # cooperative pause between rounds (service.go:64-147
+                    # SetStatus(pause) semantics): the last commit marker
+                    # is the checkpoint; run(resume=True) continues
+                    self._pause_requested = False
+                    self.events.emit(ev.PAUSE, round_no=r)
+                    break
                 frontier, url_seen = self._read_state(r)
                 if frontier.isEmpty():
                     break
@@ -480,3 +488,36 @@ class CrawlEngine:
             raise
         self.events.emit(ev.STOP, round_no=r, total_fetched=summary.total_fetched)
         return summary
+
+    # ------------------------------------------------------------------
+    # control plane (service/service.go:64-147 SetStatus/GetStatus as a
+    # driver-side surface: pause cooperatively, read status cheaply)
+    # ------------------------------------------------------------------
+
+    def request_pause(self) -> None:
+        """Pause at the next round boundary (callable from an event
+        handler or another driver thread).  The committed snapshot is
+        the checkpoint; ``run(resume=True)`` continues the crawl."""
+        self._pause_requested = True
+
+    def status(self) -> dict:
+        """Live crawl status from commit metadata — zero Spark jobs
+        (GetStatus analog; everything comes from the markers)."""
+        last = self.store.last_committed_round()
+        if last is None:
+            return {"state": "unstarted", "last_committed_round": None}
+        counts = self.store.committed_row_counts(last)
+        marker = self.store._marker(last) or {}
+        outcomes: dict[str, int] = {}
+        for i in range(last + 1):
+            m = self.store._marker(i) or {}
+            for k, v in (m.get("stats", {}).get("outcomes") or {}).items():
+                outcomes[k] = outcomes.get(k, 0) + v
+        return {
+            "state": "paused" if self._pause_requested else "idle",
+            "last_committed_round": last,
+            "snapshot_id": marker.get("snapshot_id"),
+            "frontier_size": counts.get("frontier", 0),
+            "url_seen_total": self.store.url_seen_total(last),
+            "outcome_totals": outcomes,
+        }

@@ -221,3 +221,49 @@ def test_plugin_chains_run_in_priority_order(spark, tmp_store_dir):
     # chain ended on the low-priority value
     log = store.read_log("fetch_log")
     assert log.count() > 0
+
+
+def test_pause_resume_and_status(spark, tmp_store_dir):
+    """Control plane (service.go:64-147 analog): request_pause() stops
+    at the next round boundary with a PAUSE event; resume continues to
+    the same final state a straight-through run reaches; status() reads
+    only commit metadata."""
+    from tegenaria_spark.plans import events as ev
+    from tegenaria_spark.plans.engine import CrawlEngine
+    from tegenaria_spark.sources.store import LocalSnapshotStore
+    from tegenaria_spark.sources.synth import SiteConfig, seed_urls
+
+    site = SiteConfig(n_domains=3, pages_per_domain=8)
+    seeds = seed_urls(site, n_seeds=10)
+
+    store = LocalSnapshotStore(tmp_store_dir, spark)
+    engine = CrawlEngine(spark, store, site, CFG)
+    paused_at = []
+    engine.events.register(
+        ev.ROUND_END, lambda round_no, **kw: engine.request_pause() if round_no == 0 else None
+    )
+    engine.events.register(ev.PAUSE, lambda round_no, **kw: paused_at.append(round_no))
+
+    first = engine.run(seeds, max_rounds=20)
+    assert len(first.rounds) == 1  # paused after round 0
+    assert paused_at == [1]
+    st = engine.status()
+    assert st["last_committed_round"] == 1
+    assert st["outcome_totals"].get("fetched", 0) == first.total_fetched
+    assert st["url_seen_total"] > 0
+
+    rest = engine.run(resume=True, max_rounds=20)
+    assert store.last_committed_round() == 1 + len(rest.rounds)
+    total_fetched = first.total_fetched + rest.total_fetched
+
+    # straight-through twin run reaches the identical totals
+    import tempfile, shutil
+
+    d2 = tempfile.mkdtemp(prefix="tegenaria-pausecmp-")
+    try:
+        engine2 = CrawlEngine(spark, LocalSnapshotStore(d2, spark), site, CFG)
+        full = engine2.run(seeds, max_rounds=20)
+        assert full.total_fetched == total_fetched
+        assert full.total_items == first.total_items + rest.total_items
+    finally:
+        shutil.rmtree(d2, ignore_errors=True)
