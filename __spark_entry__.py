@@ -45,7 +45,7 @@ _FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixture
 
 # bump when twin semantics change (forces fixture regeneration even at
 # an already-stamped sf_dir)
-_FIXTURE_VERSION = 2
+_FIXTURE_VERSION = 3
 
 
 def _fixture_path(key: str) -> str:
@@ -326,7 +326,9 @@ def _doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tegenaria_spark.operators.similarity import cosine_topk_bruteforce
+    from tegenaria_spark.oracle_twins import expected_ann_topk
 
+    _ensure_fixture("ann_cosine_topk", sf_dir, lambda: expected_ann_topk(_emb_pdf(sf_dir)))
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -370,7 +372,12 @@ def _crawl_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     site = SiteConfig(n_domains=8, pages_per_domain=32)
     ts0 = datetime.fromtimestamp(1_700_000_000, tz=timezone.utc)
-    rows = [{**r, "next_fetch_time": ts0} for r in seed_urls(site, n_seeds=200)]
+    # option_ratio > 0: params/cookies/proxy/timeout/redirect/POST-body
+    # columns are part of the certified contract (VERDICT r2 Missing #2)
+    rows = [
+        {**r, "next_fetch_time": ts0}
+        for r in seed_urls(site, n_seeds=200, option_ratio=0.5)
+    ]
     df = spark.createDataFrame(rows, FRONTIER_SCHEMA)
     return with_fingerprint(with_canonical(df)).select("ctx_id", "canon_url", "domain", "fp")
 
@@ -395,7 +402,10 @@ def _crawl_round_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = EngineConfig(shuffle_partitions=16)
     site = SiteConfig(n_domains=8, pages_per_domain=32)
     ts0 = datetime.fromtimestamp(cfg.epoch_ms / 1000, tz=timezone.utc)
-    rows = [{**r, "next_fetch_time": ts0} for r in seed_urls(site, n_seeds=300)]
+    rows = [
+        {**r, "next_fetch_time": ts0}
+        for r in seed_urls(site, n_seeds=300, option_ratio=0.5)
+    ]
     frontier = with_fingerprint(with_canonical(spark.createDataFrame(rows, FRONTIER_SCHEMA)))
     frontier = frontier.filter(F.col("valid"))
     fresh, dups = dedup_gate(frontier, spark.createDataFrame([], URL_SEEN_SCHEMA))
@@ -537,7 +547,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "a8_outcome_rollup": (
             "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
-            "       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS total_price_cents "
+            "       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_price_cents "
             "FROM orders GROUP BY 1, 2"
         ),
         "m1_transform_chain": (
@@ -549,7 +559,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "join_broadcast_rollup": (
             "SELECT c_mktsegment, count(*) AS n_orders, "
-            "       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS revenue_cents "
+            "       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents "
             "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1"
         ),
         "dedup_exact": (
@@ -591,29 +601,29 @@ def oracle_sql() -> dict[str, str]:
             "           AS n_bpe_segments "
             "FROM documents"
         ),
+        # fixture oracle (oracle_twins.expected_ann_topk): the fold-exact
+        # twin — a DuckDB list_dot_product oracle sums in a different
+        # order, so float ranks agreed only absent near-ties
         "ann_cosine_topk": (
-            "WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings "
-            "           WHERE vec_id < 10), "
-            "scored AS ("
-            "  SELECT q.query_id, e.vec_id AS neighbor_id, "
-            "         list_dot_product(q.qvec::DOUBLE[], e.embedding::DOUBLE[]) / "
-            "         (sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[])) * "
-            "          sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) "
-            "             AS cosine "
-            "  FROM embeddings e, q WHERE e.vec_id <> q.query_id) "
-            "SELECT query_id, neighbor_id, rank FROM ("
-            "  SELECT query_id, neighbor_id, "
-            "         row_number() OVER (PARTITION BY query_id "
-            "             ORDER BY cosine DESC, neighbor_id ASC)::INT AS rank "
-            "  FROM scored) WHERE rank <= 5"
+            "SELECT query_id, neighbor_id, rank "
+            f"FROM read_parquet('{_fixture_path('ann_cosine_topk')}')"
         ),
+        # integer-exact twin of the operator's accept rule: Q=floor(v·2^20)
+        # (power-of-two scale + floor — bit-identical across engines), then
+        # cos ≥ 2/5  ⟺  dot>0 ∧ 25·dot² ≥ 4·|Qa|²·|Qb|² in exact integers
+        # (dots ≤ 2^46 are exact in float64; the cross-multiplied squares
+        # go through HUGEINT).  No float threshold crosses engines.
         "embedding_neardup": (
+            "WITH q AS (SELECT vec_id, "
+            "           list_transform(embedding::DOUBLE[], x -> floor(x * 1048576.0)) AS qv "
+            "           FROM embeddings) "
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
-            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-            "WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0 "
-            "  AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
-            "      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
-            "       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4"
+            "FROM q a JOIN q b ON a.vec_id < b.vec_id "
+            "WHERE list_dot_product(a.qv, b.qv) > 0 "
+            "  AND 25 * CAST(list_dot_product(a.qv, b.qv) AS HUGEINT) "
+            "         * CAST(list_dot_product(a.qv, b.qv) AS HUGEINT) "
+            "      >= 4 * CAST(list_dot_product(a.qv, a.qv) AS HUGEINT) "
+            "           * CAST(list_dot_product(b.qv, b.qv) AS HUGEINT)"
         ),
         # --- expected-fixture oracles: independent single-threaded
         # twins (tegenaria_spark/oracle_twins.py) materialized to

@@ -132,7 +132,7 @@ def run_crawl(master: str, cpus: int) -> dict:
     workdir = tempfile.mkdtemp(prefix=f"bench-crawl-{cpus}-", dir="/dev/shm")
     try:
         seeds = seed_frontier_df(spark, site, 150_000)
-        store = LocalSnapshotStore(workdir, spark)
+        store = LocalSnapshotStore(workdir, spark, fp_buckets=cfg.fp_buckets)
         engine = CrawlEngine(spark, store, site, cfg, budget_rows=budgets)
         t0 = time.time()
         engine.bootstrap(seeds)
@@ -235,9 +235,17 @@ def main() -> None:
         effs = sorted(r["eff"] for r in runs)
         med = effs[len(effs) // 2] if len(effs) % 2 else (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
         last = runs[-1]
+
+        def compact(level: dict) -> dict:
+            # per-round DAG-stage timings are diagnostics, not results —
+            # they go to the side file only (r2's official artifact was
+            # unparseable because the one-line JSON with full nested
+            # round_timings overflowed the driver's output-tail buffer)
+            return {k: v for k, v in level.items() if k != "round_timings"}
+
         result["crawl"] = {
-            f"local[{lo_cpus}]": last[f"local[{lo_cpus}]"],
-            f"local[{hi_cpus}]": last[f"local[{hi_cpus}]"],
+            f"local[{lo_cpus}]": compact(last[f"local[{lo_cpus}]"]),
+            f"local[{hi_cpus}]": compact(last[f"local[{hi_cpus}]"]),
             "fetched_urls_per_sec_lo": last[f"local[{lo_cpus}]"]["fetched_per_sec"],
             "fetched_urls_per_sec_hi": last[f"local[{hi_cpus}]"]["fetched_per_sec"],
             "runs": [
@@ -246,7 +254,14 @@ def main() -> None:
             "scaling_efficiency": round(med, 3),
             "scaling_efficiency_best_round": max(r["eff_best_round"] for r in runs),
         }
+        # full per-round timing detail (all repeats, both levels) for
+        # offline analysis — BENCH.md cites this file
+        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+        with open(detail_path, "w") as fh:
+            json.dump({"summary": result, "runs": runs}, fh, indent=1)
 
+    # the FINAL stdout line is the official machine-readable artifact —
+    # keep it compact (the driver tails output)
     print(json.dumps(result))
 
 

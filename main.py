@@ -55,7 +55,7 @@ def main(argv=None) -> int:
     cfg = EngineConfig(default_budget_per_round=args.budget)
     site = SiteConfig(n_domains=args.domains, pages_per_domain=args.pages)
     spark = get_spark("tegenaria-crawl", master=args.master, config=cfg)
-    store = LocalSnapshotStore(args.workdir, spark)
+    store = LocalSnapshotStore(args.workdir, spark, fp_buckets=cfg.fp_buckets)
     if args.status:
         engine = CrawlEngine(spark, store, site, cfg)
         print(json.dumps(engine.status()))

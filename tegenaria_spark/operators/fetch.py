@@ -44,6 +44,8 @@ def simulate_fetch_one(
     proxy_url: str | None = None,
     timeout_ms: int | None = None,
     allow_redirects: bool = True,
+    method: str = "GET",
+    body: bytes | None = None,
 ) -> dict:
     """Fetch one URL through the synthetic web, honoring the
     per-request options the reference's downloader supports
@@ -64,7 +66,10 @@ def simulate_fetch_one(
     _ = cookies  # carried, not content-affecting in the synthetic web
     hops = max_redirects if allow_redirects else 0
     for _i in range(hops + 1):
-        page = synth_page(current, site)
+        # the method+body ride the whole redirect chain (the synthetic
+        # web keeps the method across 301s — deterministic, mirrored
+        # exactly by the simulator since this function IS the simulator)
+        page = synth_page(current, site, method=method, body=body)
         delay += page.delay
         if timeout_ms is not None and delay * 1000.0 > timeout_ms:
             return {
@@ -154,8 +159,10 @@ def fetch_stage(selected: DataFrame, site: SiteConfig, cfg: EngineConfig) -> Dat
                     proxy_url=px if isinstance(px, str) and px else None,
                     timeout_ms=None if tm is None or pd.isna(tm) else int(tm),
                     allow_redirects=True if ar is None or pd.isna(ar) else bool(ar),
+                    method=me if isinstance(me, str) and me else "GET",
+                    body=bytes(bo) if bo is not None and not (isinstance(bo, float) and pd.isna(bo)) else None,
                 )
-                for u, pr, ck, px, tm, mr, ar in zip(
+                for u, pr, ck, px, tm, mr, ar, me, bo in zip(
                     pdf["url"],
                     _opt(pdf, "params"),
                     _opt(pdf, "cookies"),
@@ -163,6 +170,8 @@ def fetch_stage(selected: DataFrame, site: SiteConfig, cfg: EngineConfig) -> Dat
                     _opt(pdf, "timeout_ms"),
                     _opt(pdf, "max_redirects"),
                     _opt(pdf, "allow_redirects"),
+                    _opt(pdf, "method", "GET"),
+                    _opt(pdf, "body"),
                 )
             ]
             res = pd.DataFrame(results)

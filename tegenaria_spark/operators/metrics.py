@@ -14,21 +14,25 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
-def collect_round_counters(fetch_log: DataFrame) -> tuple[dict, dict]:
-    """One aggregation job over the (checkpointed) round fetch_log:
-    returns (outcome_counts, status_counts) plus error classing — the
-    driver-side inputs for the metrics rows and RoundResult."""
-    rows = (
-        fetch_log.groupBy(
-            "outcome",
-            F.col("status"),
-            F.coalesce(F.col("error").startswith("disallowed status"), F.lit(False)).alias(
-                "_disallowed"
-            ),
-        )
-        .count()
-        .collect()
-    )
+def counter_rows(fetch_log: DataFrame) -> DataFrame:
+    """The tiny aggregate behind :func:`parse_counter_rows` — kept as a
+    DataFrame so the engine can union it with other per-round side
+    aggregates and collect everything in ONE driver job (each separate
+    ``collect()`` is a full job-scheduling round-trip of per-round
+    constant time that scaling cannot amortize)."""
+    return fetch_log.groupBy(
+        "outcome",
+        F.col("status"),
+        F.coalesce(F.col("error").startswith("disallowed status"), F.lit(False)).alias(
+            "_disallowed"
+        ),
+    ).count()
+
+
+def parse_counter_rows(rows) -> tuple[dict, dict]:
+    """Driver-side fold of :func:`counter_rows` output: returns
+    (outcome_counts, status_counts) plus error classing — the inputs
+    for the metrics rows and RoundResult."""
     outcome_counts: dict[str, int] = {}
     status_counts: dict[int, int] = {}
     errors = 0
@@ -47,6 +51,14 @@ def collect_round_counters(fetch_log: DataFrame) -> tuple[dict, dict]:
     outcome_counts["_errors"] = errors
     outcome_counts["_download_fail"] = download_fail
     return outcome_counts, status_counts
+
+
+def collect_round_counters(fetch_log: DataFrame) -> tuple[dict, dict]:
+    """Standalone convenience (tests / ad-hoc): one aggregation job over
+    the round fetch_log.  The engine itself goes through
+    :func:`counter_rows` so the collect folds into its combined
+    side-aggregate job."""
+    return parse_counter_rows(counter_rows(fetch_log).collect())
 
 
 def round_metrics_rows(

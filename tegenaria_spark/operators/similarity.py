@@ -234,7 +234,23 @@ def embedding_neardup_pairs(
     case) the feasibility test prunes most of the K² blocks.  For an
     approximate-but-cheaper scale path use the SRP machinery
     (:func:`cosine_topk_lsh` with queries=vectors).
+
+    The ACCEPT decision is integer-exact (engine-portable): vectors
+    quantize as Q = floor(v · 2^20) (power-of-two scale + floor — both
+    bit-identical in every engine), and with t = p/q the rule is
+    ``dot(Qa,Qb) > 0  ∧  q²·dot² ≥ p²·|Qa|²·|Qb|²`` in unbounded
+    integers.  All dots/norms are exact: every partial is an integer
+    < 2^53, so even float64 GEMM computes them exactly.  The float
+    cosine only PREFILTERS (with an epsilon that covers quantization
+    error), never decides — no cross-engine float-threshold flakes.
     """
+    from fractions import Fraction
+
+    if not 0 < min_cosine < 1:
+        raise ValueError("min_cosine must be in (0, 1) for the integer decision rule")
+    frac = Fraction(str(min_cosine))  # str(): 0.4 → 2/5, not the binary float
+    t_p, t_q = frac.numerator, frac.denominator
+    Q_SCALE = float(1 << 20)
     spark = vectors.sparkSession
     n = vectors.count()
     if n == 0:
@@ -279,11 +295,14 @@ def embedding_neardup_pairs(
         r[row["cluster"]] = np.arccos(np.clip(row["min_cos"], -1.0, 1.0))
     theta = np.arccos(np.clip(cent @ cent.T, -1.0, 1.0))
     t_ang = np.arccos(np.clip(min_cosine, -1.0, 1.0))
+    # slack 1e-4 covers both float round-off AND the quantized decision
+    # boundary (|cos_Q − cos_float| ≲ 1e-5 at 2^20 scale) — slack only
+    # ever ADDS candidate blocks, so completeness is preserved
     feasible = [
         (int(i), int(j))
         for i in range(k)
         for j in range(i, k)
-        if theta[i, j] <= t_ang + r[i] + r[j] + 1e-6
+        if theta[i, j] <= t_ang + r[i] + r[j] + 1e-4
     ]
     # two independent tiny pair frames + per-side column names: the two
     # cogroup inputs share the checkpointed `assigned` lineage, and
@@ -304,20 +323,36 @@ def embedding_neardup_pairs(
             return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
         lids = left["_lid"].to_numpy()
         rids = right["_rid"].to_numpy()
-        lmat = _normalize_rows(
-            np.stack([np.asarray(v, dtype=np.float64) for v in left["_lvec"]])
-        )
-        rmat = _normalize_rows(
-            np.stack([np.asarray(v, dtype=np.float64) for v in right["_rvec"]])
-        )
+        lraw = np.stack([np.asarray(v, dtype=np.float64) for v in left["_lvec"]])
+        rraw = np.stack([np.asarray(v, dtype=np.float64) for v in right["_rvec"]])
+        lmat = _normalize_rows(lraw)
+        rmat = _normalize_rows(rraw)
+        # quantized copies: float64 holding exact integers (|Q| < 2^20),
+        # so the GEMMs below are exact (every partial < 2^53)
+        lq = np.floor(lraw * Q_SCALE)
+        rq = np.floor(rraw * Q_SCALE)
+        lnorm2 = (lq * lq).sum(axis=1)
+        rnorm2 = (rq * rq).sum(axis=1)
+        pp, qq = t_p * t_p, t_q * t_q
         out_a, out_b, out_c = [], [], []
         for s in range(0, len(lmat), gemm_chunk):
             sims = lmat[s : s + gemm_chunk] @ rmat.T
+            # float PREFILTER only — 1e-4 covers quantization skew; the
+            # integer rule below makes the accept/reject decision
             if c_lo == c_hi:
-                mask = (sims >= min_cosine) & (lids[s : s + gemm_chunk, None] < rids[None, :])
+                mask = (sims >= min_cosine - 1e-4) & (
+                    lids[s : s + gemm_chunk, None] < rids[None, :]
+                )
             else:
-                mask = sims >= min_cosine
+                mask = sims >= min_cosine - 1e-4
             ii, jj = np.nonzero(mask)
+            if len(ii):
+                d = (lq[s + ii] * rq[jj]).sum(axis=1)  # exact int dots
+                di = d.astype(np.int64).astype(object)  # unbounded ints:
+                na = lnorm2[s + ii].astype(np.int64).astype(object)  # d²
+                nb = rnorm2[jj].astype(np.int64).astype(object)  # ~2^90
+                keep = (d > 0) & (qq * di * di >= pp * na * nb).astype(bool)
+                ii, jj = ii[keep], jj[keep]
             la = lids[s + ii]
             rb = rids[jj]
             out_a.append(np.minimum(la, rb))

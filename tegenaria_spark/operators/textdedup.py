@@ -14,9 +14,13 @@ Scale notes (100 TB):
   candidate join is per-bucket — hot buckets are bounded because a
   bucket key includes the band index.  Verification joins only
   candidate pairs, never the cross product.
-- word-Jaccard: the token explode is the expensive step; document
-  frequency pruning (drop tokens present in >df_max of docs) bounds the
-  O(pairs-sharing-token) join — the standard trick, exposed as a knob.
+- word-Jaccard: the token explode is the expensive step; PPJoin prefix
+  filtering (join only the lowest-document-frequency prefix tokens,
+  plus length + positional prunes — all EXACT) bounds the
+  O(pairs-sharing-token) join, so a token shared by every document
+  never generates the naive join's O(N²) candidates.  No lossy df_max
+  cutoff is needed: the df-ascending prefix order already keeps
+  ubiquitous tokens out of candidate generation.
 """
 
 from __future__ import annotations
@@ -337,13 +341,32 @@ def simhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def simhash_chunk_layout(max_hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) per block for a COMPLETE pigeonhole guarantee at
+    the requested radius: max_hamming+1 blocks — a pair differing in at
+    most max_hamming bits cannot touch every block, so it shares at
+    least one block exactly.  64 bits split as evenly as possible."""
+    k = max_hamming + 1
+    if not 1 <= k <= 64:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    base, rem = divmod(64, k)
+    layout, shift = [], 0
+    for i in range(k):
+        width = base + (1 if i < rem else 0)
+        layout.append((shift, width))
+        shift += width
+    return layout
+
+
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8, **kw) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, block-joined on
-    16-bit chunks (standard pigeonhole blocking: with 4 chunks, any
-    pair within hamming ≤ 3 is *guaranteed* to share an exact chunk;
-    pairs with larger distance are found only probabilistically — raise
-    the chunk count for a looser guaranteed radius at more join fan-out)."""
+    max_hamming+1 bit-chunks — the pigeonhole count that makes the
+    blocking COMPLETE at the requested radius (4 fixed 16-bit chunks
+    only guaranteed radius 3; callers asking for 6 silently got
+    probabilistic recall beyond that).  More blocks ⇒ more join fan-out:
+    the radius is the recall contract AND the cost knob."""
     t = simhash_table(docs, **kw)
+    layout = simhash_chunk_layout(max_hamming)
     chunks = t.select(
         "doc_id",
         "simhash",
@@ -352,11 +375,11 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8, **kw) -> DataFrame
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_idx"),
-                        F.shiftrightunsigned(F.col("simhash"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), shift)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("chunk"),
                     )
-                    for i in range(4)
+                    for i, (shift, width) in enumerate(layout)
                 ]
             )
         ).alias("c"),

@@ -90,6 +90,8 @@ def doc_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     t = F.coalesce(F.col(text_col), F.lit(""))
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.xxhash64(F.col(text_col)).alias("content_hash"),
+        # hash the null-coalesced column: Spark's xxhash64(NULL) returns
+        # the seed (42) while the twin hashes '' — NULL text must agree
+        F.xxhash64(t).alias("content_hash"),
         winnow_fp_col(t).alias("winnow_fp"),
     )

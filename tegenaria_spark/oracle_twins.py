@@ -94,26 +94,32 @@ def expected_minhash_pairs(
 
 
 def expected_simhash_pairs(docs: pd.DataFrame, max_hamming: int = 6) -> pd.DataFrame:
-    """Twin of simhash_near_pairs: py_simhash per doc, dict chunk
-    blocking, exact hamming."""
+    """Twin of simhash_near_pairs: py_simhash per doc, then EXACT
+    all-pairs hamming ≤ max_hamming (brute force, no blocking) — since
+    the Spark side's max_hamming+1-block pigeonhole is complete at the
+    requested radius, its output must equal the exact answer, and an
+    oracle that mirrored the blocking could never catch a recall gap."""
     from tegenaria_spark.operators.textdedup import py_simhash
 
+    ids = [int(d) for d in docs["doc_id"]]
     hashes = {int(d): py_simhash(t) for d, t in zip(docs["doc_id"], docs["text"])}
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for did, h in hashes.items():
-        u = h & ((1 << 64) - 1)
-        for ci in range(4):
-            buckets.setdefault((ci, (u >> (ci * 16)) & 0xFFFF), []).append(did)
-    cands: set[tuple[int, int]] = set()
-    for ids in buckets.values():
-        if len(ids) > 1:
-            ids.sort()
-            cands.update(combinations(ids, 2))
+    hv = np.array([hashes[d] for d in ids], dtype=np.int64).view(np.uint64)
+    pop16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+    def popcount(x: np.ndarray) -> np.ndarray:
+        total = np.zeros(x.shape, dtype=np.int16)
+        for s in (0, 16, 32, 48):
+            total += pop16[((x >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.int64)]
+        return total
+
     rows = []
-    for da, db in sorted(cands):
-        ham = bin((hashes[da] ^ hashes[db]) & ((1 << 64) - 1)).count("1")
-        if ham <= max_hamming:
-            rows.append((da, db, ham))
+    for i in range(len(ids)):  # chunked exact sweep: O(n²/2) vectorized
+        ham = popcount(hv[i] ^ hv[i + 1 :])
+        for off in np.nonzero(ham <= max_hamming)[0]:
+            j = i + 1 + int(off)
+            a, b = sorted((ids[i], ids[j]))
+            rows.append((a, b, int(ham[off])))
+    rows.sort()
     return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]).astype(
         {"doc_a": "int64", "doc_b": "int64", "hamming": "int32"}
     )
@@ -135,6 +141,36 @@ def expected_doc_fingerprints(docs: pd.DataFrame) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 # embeddings-table twin
 # ---------------------------------------------------------------------------
+
+
+def expected_ann_topk(
+    emb: pd.DataFrame, k: int = 5, n_queries: int = 10
+) -> pd.DataFrame:
+    """Twin of similarity.cosine_topk_bruteforce for the driver-contract
+    query (queries = vec_id < n_queries): exact fold-cosine (the
+    np.cumsum prefix fold is bit-identical to Spark's F.aggregate fold,
+    locked by test_twins), rank ties broken by neighbor id.  Replaces
+    the former DuckDB-SQL oracle whose ``list_dot_product`` sums in a
+    different order — ranks agreed only while the data had no
+    near-tie cosines (r1/r2 ADVICE latent flake)."""
+    ids = emb["vec_id"].to_numpy()
+    mat = [np.asarray(v, dtype=np.float64) for v in emb["embedding"]]
+    rows = []
+    for qi in np.nonzero(ids < n_queries)[0]:
+        scored = sorted(
+            (
+                (fold_cosine(mat[qi], mat[vi]), int(ids[vi]))
+                for vi in range(len(ids))
+                if ids[vi] != ids[qi]
+            ),
+            key=lambda t2: (-t2[0], t2[1]),
+        )
+        for rank, (_, nid) in enumerate(scored[:k], start=1):
+            rows.append((int(ids[qi]), nid, rank))
+    rows.sort()
+    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"]).astype(
+        {"query_id": "int64", "neighbor_id": "int64", "rank": "int32"}
+    )
 
 
 def expected_ann_lsh(
@@ -186,32 +222,51 @@ def expected_ann_lsh(
 # ---------------------------------------------------------------------------
 
 
-def expected_crawl_fingerprints(n_seeds: int = 200) -> pd.DataFrame:
+def expected_crawl_fingerprints(
+    n_seeds: int = 200, option_ratio: float = 0.5
+) -> pd.DataFrame:
     """Twin of the crawl_fingerprints query: canonicalize + fingerprint
-    every seed via the pure-Python spec functions."""
-    from tegenaria_spark.functions.canonical import py_canonicalize, py_fingerprint
+    every seed via the pure-Python spec functions.  Option-bearing
+    seeds (params merge F7, POST bodies F2) are part of the contract:
+    params fold into the URL before canonicalize/fingerprint, exactly
+    as canonicalize_udf does."""
+    from tegenaria_spark.functions.canonical import (
+        py_canonicalize,
+        py_fingerprint,
+        py_merge_params,
+    )
     from tegenaria_spark.sources.synth import SiteConfig, seed_urls
 
     site = SiteConfig(n_domains=8, pages_per_domain=32)
     rows = []
-    for r in seed_urls(site, n_seeds=n_seeds):
-        canon, domain, _valid = py_canonicalize(r["url"])
-        fp = py_fingerprint(r["method"], r["url"], r.get("body"), r.get("headers"))
+    for r in seed_urls(site, n_seeds=n_seeds, option_ratio=option_ratio):
+        u = py_merge_params(r["url"], r["params"]) if r.get("params") else r["url"]
+        canon, domain, _valid = py_canonicalize(u)
+        fp = py_fingerprint(r["method"], u, r.get("body"), r.get("headers"))
         rows.append((r["ctx_id"], canon, domain, fp))
     return pd.DataFrame(rows, columns=["ctx_id", "canon_url", "domain", "fp"]).astype(
         {"fp": "int64"}
     )
 
 
-def expected_crawl_round_schedule(n_seeds: int = 300) -> pd.DataFrame:
+def expected_crawl_round_schedule(
+    n_seeds: int = 300, option_ratio: float = 0.5
+) -> pd.DataFrame:
     """Twin of the crawl_round_schedule query: round-0 scheduling of a
     fresh seed frontier — within-batch dedup (keep-first-by-seq),
     longest-prefix robots, per-domain budget rank.  Single-threaded
-    dict/list logic mirroring plans/simulator.py."""
+    dict/list logic mirroring plans/simulator.py.  Seeds carry the
+    option matrix (params/cookies/proxy/timeout/redirects/POST bodies)
+    so the option columns get a CORRECTNESS row, not just pytest
+    parity (reference downloader_test.go:29-282)."""
     from urllib.parse import urlsplit
 
     from tegenaria_spark.config import EngineConfig
-    from tegenaria_spark.functions.canonical import py_canonicalize, py_fingerprint
+    from tegenaria_spark.functions.canonical import (
+        py_canonicalize,
+        py_fingerprint,
+        py_merge_params,
+    )
     from tegenaria_spark.sources.synth import SiteConfig, domain_budgets, robots_rules, seed_urls
 
     cfg = EngineConfig(shuffle_partitions=16)
@@ -220,11 +275,12 @@ def expected_crawl_round_schedule(n_seeds: int = 300) -> pd.DataFrame:
     budget_map = {b["domain"]: b["budget_per_round"] for b in domain_budgets(site, 8)}
 
     seeds = []
-    for r in seed_urls(site, n_seeds=n_seeds):
-        canon, domain, valid = py_canonicalize(r["url"])
+    for r in seed_urls(site, n_seeds=n_seeds, option_ratio=option_ratio):
+        u = py_merge_params(r["url"], r["params"]) if r.get("params") else r["url"]
+        canon, domain, valid = py_canonicalize(u)
         if not valid:
             continue  # the query filters on valid before the gate
-        fp = py_fingerprint(r["method"], r["url"], r.get("body"), r.get("headers"))
+        fp = py_fingerprint(r["method"], u, r.get("body"), r.get("headers"))
         seeds.append({**r, "canon_url": canon, "domain": domain, "fp": fp})
 
     # dedup gate vs empty seen-set: keep-first-by-enqueue_seq per fp

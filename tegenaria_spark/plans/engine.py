@@ -47,7 +47,11 @@ from tegenaria_spark.operators.dedup import (
 )
 from tegenaria_spark.plans import events as ev
 from tegenaria_spark.operators.fetch import check_status, fetch_stage
-from tegenaria_spark.operators.metrics import collect_round_counters, round_metrics_rows
+from tegenaria_spark.operators.metrics import (
+    counter_rows,
+    parse_counter_rows,
+    round_metrics_rows,
+)
 from tegenaria_spark.operators.parse import (
     assign_enqueue_seq,
     links_to_candidates,
@@ -146,6 +150,14 @@ class CrawlEngine:
         self.store = store
         self.site = site
         self.cfg = cfg
+        # the changed-bucket set (run_round) and the store's frontier
+        # layout hash fp with the SAME modulus, or write_frontier's
+        # `_fb.isin(changed)` filter silently drops rows — fail loudly
+        if store.fp_buckets != cfg.fp_buckets:
+            raise ValueError(
+                f"store.fp_buckets={store.fp_buckets} != cfg.fp_buckets="
+                f"{cfg.fp_buckets}; pass cfg.fp_buckets to LocalSnapshotStore"
+            )
         # None ⇒ schedule_round skips the robots join (no rules at all)
         self.robots = (
             spark.createDataFrame(robots_rows, ROBOTS_SCHEMA) if robots_rows else None
@@ -165,6 +177,12 @@ class CrawlEngine:
         self.events = ev.EventBus()
         self.plugins = plugins if plugins is not None else PluginSet()
         self._pause_requested = False
+        # explicit lifecycle (service.go:64-147 SetStatus/GetStatus):
+        # "running" while the loop executes, "paused" after a cooperative
+        # pause break, "idle" otherwise — NOT derived from the pending
+        # pause-request flag (which is true while still running and
+        # cleared by the time the engine is actually paused)
+        self._lifecycle = "idle"
 
     # ------------------------------------------------------------------
     # bootstrap: seeds pass the same dedup gate as outlinks (S1 → S2)
@@ -272,13 +290,25 @@ class CrawlEngine:
         self._bloom_state = state.localCheckpoint(eager=True)
         return self._bloom_state
 
-    def _advance_bloom_state(self, seen_delta: DataFrame) -> Optional[DataFrame]:
-        """Merge the round's new fps into the bitmap shards; returns the
-        new state (pinned) for inclusion in the commit."""
+    def _advance_bloom_state(
+        self, seen_delta: DataFrame, r: int
+    ) -> Optional[DataFrame]:
+        """Merge round *r*'s new fps into the bitmap shards; returns the
+        new state (pinned) for inclusion in the commit.
+
+        When no in-memory state exists yet (fresh engine whose rounds ran
+        below bloom_min_seen, or a resume whose snapshot predates bloom),
+        the base state MUST be materialized from the full url_seen as of
+        round r first — merging the delta onto None would silently drop
+        every earlier fp (seeds included) from the filter, and
+        bloom_fp_verdicts would then route re-discovered URLs around the
+        dedup anti-join as 'surely_new'."""
         if not self._bloom_enabled():
             return None
         m, k = self._bloom_mk
         delta = bloom_delta_state(seen_delta, self.cfg.bloom_buckets, m, k)
+        if self._bloom_state is None:
+            self._load_bloom_state(r)
         old = self._bloom_state
         merged = bloom_merge_state(old, delta).localCheckpoint(eager=True)
         if old is not None:
@@ -383,10 +413,14 @@ class CrawlEngine:
         fetch_log = pin(fetch_log)
         mark("dedup_log")
 
-        # three independent small jobs (item count, outcome counters,
-        # changed-bucket set) run concurrently — each is sub-second of
-        # work but a full job-scheduling round-trip; serialized they are
-        # pure per-round constant that scaling can't amortize
+        # the round's driver-side side facts (outcome counters + changed-
+        # bucket set) fold into ONE aggregation job — two stages with no
+        # dependency, scheduled in parallel inside a single collect —
+        # submitted on a helper thread so it overlaps the commit's table
+        # writes; the item count is NOT a job at all (it falls out of the
+        # items write's parquet footers inside the commit).  r2 ran three
+        # separate sub-second collects here: pure per-round constant that
+        # scaling can't amortize.
         from concurrent.futures import ThreadPoolExecutor
 
         # commit I/O ∝ churn: only fp-buckets touched this round rewrite
@@ -395,30 +429,89 @@ class CrawlEngine:
         ready_fps = decided.filter(F.col("sched") != "sleeping").select("fp")
         bucket_df = (
             ready_fps.unionByName(fresh.select("fp"))
-            .select(F.pmod(F.col("fp"), F.lit(cfg.fp_buckets)).cast("int").alias("b"))
+            .select(
+                # store.fp_buckets == cfg.fp_buckets (asserted in __init__);
+                # the store's modulus is the layout's source of truth
+                F.pmod(F.col("fp"), F.lit(self.store.fp_buckets))
+                .cast("int")
+                .alias("b")
+            )
             .distinct()
         )
-        with ThreadPoolExecutor(max_workers=3) as side:
-            items_fut = side.submit(items.count)
-            counters_fut = side.submit(collect_round_counters, fetch_log)
-            buckets_fut = side.submit(lambda: [row["b"] for row in bucket_df.collect()])
-            n_items = items_fut.result()
-            counts, status_counts = counters_fut.result()
-            changed_buckets = buckets_fut.result()
-        metrics = self.spark.createDataFrame(
-            round_metrics_rows(counts, status_counts, n_items, r), METRICS_SCHEMA
+        side_df = counter_rows(fetch_log).select(
+            F.lit("ctr").alias("kind"),
+            F.col("outcome").alias("s"),
+            F.col("status").cast("int").alias("i"),
+            F.col("_disallowed").alias("flag"),
+            F.col("count").alias("n"),
+        ).unionByName(
+            bucket_df.select(
+                F.lit("bucket").alias("kind"),
+                F.lit(None).cast("string").alias("s"),
+                F.col("b").alias("i"),
+                F.lit(None).cast("boolean").alias("flag"),
+                F.lit(None).cast("long").alias("n"),
+            )
         )
-        bloom_state = self._advance_bloom_state(seen_delta)
+
+        bloom_state = self._advance_bloom_state(seen_delta, r)
         mark("counts")
-        snapshot_id, table_counts = self.store.commit_round(
-            r + 1,
-            new_frontier,
-            seen_delta,
-            {"items": items, "fetch_log": fetch_log, "metrics": metrics},
-            {"phase": "round", "round": r, "outcomes": counts},
-            frontier_changed_buckets=changed_buckets,
-            extra_state={"bloom": bloom_state} if bloom_state is not None else None,
-        )
+
+        parsed: dict = {}
+
+        def _resolve_side(fut) -> None:
+            if "counts" in parsed:
+                return
+            rows = fut.result()
+            parsed["counts"], parsed["status"] = parse_counter_rows(
+                [
+                    {
+                        "outcome": x["s"],
+                        "status": x["i"],
+                        "_disallowed": x["flag"],
+                        "count": x["n"],
+                    }
+                    for x in rows
+                    if x["kind"] == "ctr"
+                ]
+            )
+            parsed["buckets"] = [int(x["i"]) for x in rows if x["kind"] == "bucket"]
+
+        with ThreadPoolExecutor(max_workers=1) as side:
+            side_fut = side.submit(side_df.collect)
+
+            def _changed_buckets() -> list[int]:
+                _resolve_side(side_fut)
+                return parsed["buckets"]
+
+            def _metrics_fn(partial_counts: dict) -> DataFrame:
+                _resolve_side(side_fut)
+                return self.spark.createDataFrame(
+                    round_metrics_rows(
+                        parsed["counts"],
+                        parsed["status"],
+                        partial_counts.get("items", 0),
+                        r,
+                    ),
+                    METRICS_SCHEMA,
+                )
+
+            def _stats() -> dict:
+                _resolve_side(side_fut)
+                return {"phase": "round", "round": r, "outcomes": parsed["counts"]}
+
+            snapshot_id, table_counts = self.store.commit_round(
+                r + 1,
+                new_frontier,
+                seen_delta,
+                {"items": items, "fetch_log": fetch_log},
+                _stats,
+                frontier_changed_buckets=_changed_buckets,
+                extra_state={"bloom": bloom_state} if bloom_state is not None else None,
+                deferred_logs={"metrics": _metrics_fn},
+            )
+        counts, status_counts = parsed["counts"], parsed["status"]
+        n_items = table_counts.get("items", 0)
         frontier_size = table_counts.get("frontier", 0)
         self._advance_seen_cache(r + 1)
         for df in pins:
@@ -464,6 +557,7 @@ class CrawlEngine:
         self.events.emit(ev.START, round_no=start, resumed=resume)
         summary = CrawlSummary()
         r = start
+        self._lifecycle = "running"
         try:
             while r < start + max_rounds:
                 if self._pause_requested:
@@ -471,6 +565,7 @@ class CrawlEngine:
                     # SetStatus(pause) semantics): the last commit marker
                     # is the checkpoint; run(resume=True) continues
                     self._pause_requested = False
+                    self._lifecycle = "paused"
                     self.events.emit(ev.PAUSE, round_no=r)
                     break
                 frontier, url_seen = self._read_state(r)
@@ -486,6 +581,9 @@ class CrawlEngine:
         except Exception as e:  # noqa: BLE001 — notify hooks, then re-raise
             self.events.emit(ev.ERROR, round_no=r, error=e)
             raise
+        finally:
+            if self._lifecycle == "running":  # drained / max_rounds / error
+                self._lifecycle = "idle"
         self.events.emit(ev.STOP, round_no=r, total_fetched=summary.total_fetched)
         return summary
 
@@ -505,7 +603,11 @@ class CrawlEngine:
         (GetStatus analog; everything comes from the markers)."""
         last = self.store.last_committed_round()
         if last is None:
-            return {"state": "unstarted", "last_committed_round": None}
+            return {
+                "state": "unstarted",
+                "pause_requested": self._pause_requested,
+                "last_committed_round": None,
+            }
         counts = self.store.committed_row_counts(last)
         marker = self.store._marker(last) or {}
         outcomes: dict[str, int] = {}
@@ -514,7 +616,8 @@ class CrawlEngine:
             for k, v in (m.get("stats", {}).get("outcomes") or {}).items():
                 outcomes[k] = outcomes.get(k, 0) + v
         return {
-            "state": "paused" if self._pause_requested else "idle",
+            "state": self._lifecycle,
+            "pause_requested": self._pause_requested,
             "last_committed_round": last,
             "snapshot_id": marker.get("snapshot_id"),
             "frontier_size": counts.get("frontier", 0),

@@ -178,6 +178,8 @@ def simulate_crawl(
                 proxy_url=q.proxy_url,
                 timeout_ms=q.timeout_ms,
                 allow_redirects=q.allow_redirects,
+                method=q.method,
+                body=q.body,
             )
             error = f["error"]
             if error is None and f["status"] >= 400 and f["status"] not in q.allow_status:

@@ -32,6 +32,20 @@ orphan data dirs that the next run ignores and overwrites.  With real
 Iceberg, the bucket manifest becomes row-level MERGE on a
 ``bucket(fp)`` partition spec and compaction becomes snapshot
 expiration — the fallback keeps the same read/write API.
+
+HARD CONSTRAINT (recorded per r2 VERDICT #8): no Iceberg/Delta jars
+ship in this environment (no network, no ``--packages``), so the real
+table format cannot be spiked here.  What the fallback DOES guarantee,
+and what tests/test_store.py::test_concurrent_reader_snapshot_isolation
+locks in: committed data dirs are immutable (a writer only creates its
+own round's dirs and clears orphans of its own round), the marker
+rename is the single atomic visibility point, and a reader that pins a
+committed round sees a consistent snapshot while later rounds commit
+concurrently.  What it does NOT give (Iceberg would): multi-WRITER
+isolation (single-driver engine assumed — two engines on one root
+would race), schema evolution, and retention-safe time travel
+(``compact_url_seen`` keeps delta dirs, but a hostile cleaner could
+break readers pinned to pre-compaction rounds).
 """
 
 from __future__ import annotations
@@ -130,6 +144,7 @@ class LocalSnapshotStore:
         stats: dict,
         frontier_changed_buckets: Optional[list[int]] = None,
         extra_state: Optional[dict[str, DataFrame]] = None,
+        deferred_logs: Optional[dict] = None,
     ) -> tuple[str, dict[str, int]]:
         """Write state + appends, then the marker.
 
@@ -138,10 +153,21 @@ class LocalSnapshotStore:
         unchanged buckets are carried into the new manifest by reference
         to their previously-written files — commit I/O scales with
         frontier churn, not frontier size.  ``None`` ⇒ full rewrite
-        (bootstrap, or a caller without churn tracking).
+        (bootstrap, or a caller without churn tracking).  May also be a
+        zero-arg callable returning the list: only the frontier writer
+        thread blocks on it, so the caller can overlap the bucket-set
+        job with the other table writes.
 
         ``extra_state``: additional full-state tables (e.g. the
         per-bucket bloom bitmaps) written under ``state/{name}/v{r}``.
+
+        ``deferred_logs``: {name: fn(table_counts) -> DataFrame} —
+        append tables derived from the OTHER tables' committed row
+        counts (e.g. the metrics table needs the items count, which
+        falls out of the items write's parquet footers — a separate
+        ``items.count()`` job would be pure per-round constant).  Each
+        fn is called after the main writes with the footer-based counts
+        accumulated so far.
 
         Returns ``(snapshot_id, row_counts_per_table)`` — counts fall out
         of the footer/manifest pass, so callers never need a count job.
@@ -194,9 +220,14 @@ class LocalSnapshotStore:
                 "_fb", F.pmod(F.col("fp"), F.lit(self.fp_buckets)).cast("int")
             )
             carried: dict[str, dict] = {}
-            if frontier_changed_buckets is not None:
+            changed_list = (
+                frontier_changed_buckets()
+                if callable(frontier_changed_buckets)
+                else frontier_changed_buckets
+            )
+            if changed_list is not None:
                 prev = self.frontier_manifest(r - 1) or {}
-                changed = {int(b) for b in frontier_changed_buckets}
+                changed = {int(b) for b in changed_list}
                 df = df.filter(F.col("_fb").isin(*changed) if changed else F.lit(False))
                 carried = {b: m for b, m in prev.items() if int(b) not in changed}
             if df.rdd.getNumPartitions() > max_files:
@@ -242,11 +273,21 @@ class LocalSnapshotStore:
                 futures += [pool.submit(write, *j) for j in jobs]
                 for f in futures:
                     f.result()
+        if deferred_logs:
+            partial_counts: dict[str, int] = {}
+            for _, table, _, _, n in lineage_rows:
+                partial_counts[table] = partial_counts.get(table, 0) + n
+            for name, fn in deferred_logs.items():
+                write(fn(partial_counts), self._log_path(name, r), name)
+                logs = {**logs, name: None}  # marker["tables"] lists it
+
         lineage_rows.sort(key=lambda t: (t[1], t[2]))
 
         lineage = self.spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA)
         lineage.write.mode("overwrite").parquet(self._log_path("lineage", r))
 
+        if callable(stats):  # resolved late: may depend on side jobs that
+            stats = stats()  # overlapped with the table writes above
         marker = {
             "round": r,
             "snapshot_id": snapshot_id,

@@ -67,7 +67,18 @@ class Page(NamedTuple):
     delay: float
 
 
-def _page_hash(canon_url: str, cfg: SiteConfig) -> int:
+def _page_hash(
+    canon_url: str, cfg: SiteConfig, method: str = "GET", body: Optional[bytes] = None
+) -> int:
+    """Page identity hash.  Method + body mix in ONLY for non-plain-GET
+    requests (reference example.go:143-246 routes /testPOST, /testForm,
+    /testJson to distinct handlers: a POST must produce distinct
+    content, not just a distinct fingerprint).  Plain GET keeps the
+    historical hash string so committed fixtures stay valid."""
+    m = (method or "GET").upper()
+    if m != "GET" or body:
+        bh = xxh64_unsigned(bytes(body) if body else b"")
+        return xxh64_unsigned(f"site:{cfg.seed}:{m}:{bh}:{canon_url}".encode("utf-8"))
     return xxh64_unsigned(f"site:{cfg.seed}:{canon_url}".encode("utf-8"))
 
 
@@ -89,8 +100,10 @@ def _parse_page(canon_url: str, cfg: SiteConfig) -> Optional[tuple[int, int]]:
         return None
 
 
-def synth_page(url: str, cfg: SiteConfig) -> Page:
-    """The synthetic web: deterministic page for any URL."""
+def synth_page(
+    url: str, cfg: SiteConfig, method: str = "GET", body: Optional[bytes] = None
+) -> Page:
+    """The synthetic web: deterministic page for any (URL, method, body)."""
     canon, _, valid = py_canonicalize(url)
     if not valid:
         return Page(0, None, [], None, None, None, 0, 0.0)
@@ -98,7 +111,7 @@ def synth_page(url: str, cfg: SiteConfig) -> Page:
     if loc is None:
         return Page(404, None, [], None, None, None, 64, 0.001)
     d, p = loc
-    h = _page_hash(canon, cfg)
+    h = _page_hash(canon, cfg, method=method, body=body)
     roll = (h % 10_000) / 10_000.0
 
     if roll < cfg.redirect_ratio and p + 1 < cfg.pages_per_domain:
@@ -124,7 +137,11 @@ def synth_page(url: str, cfg: SiteConfig) -> Page:
     image_id = None
     caption = None
     fmt = None
-    if (h >> 16) % 1000 < int(cfg.image_ratio * 1000):
+    # POST/form/JSON endpoints answer with data, not images (reference
+    # example.go /testPOST et al.) — and a method-variant page must not
+    # reuse the GET page's image_id with different caption content
+    serves_image = (method or "GET").upper() == "GET" and not body
+    if serves_image and (h >> 16) % 1000 < int(cfg.image_ratio * 1000):
         image_id = f"img-{d:03d}-{p:04d}"
         fmt = "png" if (h >> 24) % 2 == 0 else "jpeg"
         caption = f"synthetic {fmt} image {image_id} from {cfg.domain(d)} token{h % 997}"
@@ -213,8 +230,9 @@ def seed_urls(
         }
         # short-circuit keeps the rng stream identical to option-less
         # callers (committed fixtures depend on the draw sequence)
+        method, body = "GET", None
         if option_ratio > 0 and rng.rand() < option_ratio:
-            kind = i % 5
+            kind = i % 6
             if kind == 0:
                 opts["params"] = {"extra": str(i % 7), "trk": "abc"}
             elif kind == 1:
@@ -223,16 +241,23 @@ def seed_urls(
                 opts["proxy_url"] = "http://proxy-01.example.test:8080"
             elif kind == 3:
                 opts["timeout_ms"] = 3  # some pages exceed this → timeout+retry
-            else:
+            elif kind == 4:
                 opts["max_redirects"] = 0 if i % 2 else None
                 opts["allow_redirects"] = bool(i % 2)
+            else:
+                # POST/form seeds (downloader_test.go /testPOST,
+                # /testForm): distinct body ⇒ distinct fingerprint AND
+                # distinct fetched content (method+body mix into the
+                # synthetic page hash)
+                method = "POST"
+                body = f"q={i % 9}&form=1".encode("utf-8")
         rows.append(
             {
                 "ctx_id": f"seed-{i:06d}",
                 "url": cfg.page_url(d, p, shuffle=shuffle),
-                "method": "GET",
+                "method": method,
                 "headers": {"User-Agent": "tegenaria-spark/0.1"},
-                "body": None,
+                "body": body,
                 "meta": None,
                 "parser": "image_parser",
                 "do_not_filter": bool(rng.rand() < 0.02),

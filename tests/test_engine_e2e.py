@@ -248,11 +248,14 @@ def test_pause_resume_and_status(spark, tmp_store_dir):
     assert len(first.rounds) == 1  # paused after round 0
     assert paused_at == [1]
     st = engine.status()
+    assert st["state"] == "paused"  # actually paused, not merely requested
+    assert st["pause_requested"] is False
     assert st["last_committed_round"] == 1
     assert st["outcome_totals"].get("fetched", 0) == first.total_fetched
     assert st["url_seen_total"] > 0
 
     rest = engine.run(resume=True, max_rounds=20)
+    assert engine.status()["state"] == "idle"  # drained, back to idle
     assert store.last_committed_round() == 1 + len(rest.rounds)
     total_fetched = first.total_fetched + rest.total_fetched
 

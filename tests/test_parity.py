@@ -77,6 +77,7 @@ def test_parity_with_per_request_options(spark, tmp_store_dir):
     assert any(s["params"] for s in seeds)
     assert any(s["timeout_ms"] for s in seeds)
     assert any(not s["allow_redirects"] for s in seeds)
+    assert any(s["method"] == "POST" and s["body"] for s in seeds)
     budgets = domain_budgets(site, default_budget=8)
 
     sim = simulate_crawl(seeds, site, CFG, budgets=budgets, max_rounds=30)
@@ -105,3 +106,68 @@ def test_parity_with_per_request_options(spark, tmp_store_dir):
         "GET", py_merge_params(s["url"], s["params"]), None, s["headers"]
     )
     assert fp_plain != fp_merged and fp_merged in sim.url_seen
+
+
+def test_bloom_threshold_crossed_mid_crawl(spark, tmp_store_dir):
+    """Regression (r2 ADVICE high): when bloom_min_seen is crossed AFTER
+    round 0, the incremental bloom state must include every fp committed
+    before the threshold crossing (seeds included).  Pre-fix,
+    _advance_bloom_state merged round deltas onto None without loading
+    the existing url_seen, so once the prefilter activated it routed
+    already-seen URLs around the anti-join as 'surely_new' — refetches
+    and duplicate url_seen fps."""
+    site = SiteConfig(n_domains=3, pages_per_domain=14)
+    seeds = seed_urls(site, n_seeds=10)
+    budgets = domain_budgets(site, default_budget=6)
+    # round 0 commits ~10 seed fps (< 30); discovered outlinks cross the
+    # threshold within a round or two, activating the prefilter mid-crawl
+    cfg = EngineConfig(shuffle_partitions=8, bloom_enabled=True, bloom_min_seen=30)
+
+    sim = simulate_crawl(seeds, site, cfg, budgets=budgets, max_rounds=25)
+
+    store = LocalSnapshotStore(tmp_store_dir, spark)
+    engine = CrawlEngine(spark, store, site, cfg, budget_rows=budgets)
+    engine.run(seeds, max_rounds=25)
+    last = store.last_committed_round()
+    assert store.url_seen_total(last) > 30  # the threshold WAS crossed
+
+    seen = store.read_url_seen(last)
+    assert seen.count() == seen.select("fp").distinct().count()  # no dup fps
+    assert {r["fp"] for r in seen.collect()} == sim.url_seen
+
+    log = store.read_log("fetch_log")
+    spark_fetched = sorted(
+        (r["round"], r["seq"], r["url"])
+        for r in log.filter(F.col("outcome") == "fetched").collect()
+    )
+    sim_fetched = sorted((t[0], t[1], t[3]) for t in sim.fetch_log if t[6] == "fetched")
+    assert spark_fetched == sim_fetched  # no refetch of pre-threshold URLs
+
+
+def test_post_content_distinct_from_get():
+    """A POST (or body-bearing) request to the same URL yields DISTINCT
+    synthetic content, not just a distinct fingerprint (reference
+    example.go:143-246: /testPOST, /testForm, /testJson are separate
+    handlers) — and the plain-GET page hash is unchanged (committed
+    fixtures depend on it)."""
+    from tegenaria_spark.sources.synth import SiteConfig, _page_hash, synth_page
+
+    site = SiteConfig(n_domains=2, pages_per_domain=50, redirect_ratio=0.0, error_ratio=0.0)
+    url = site.page_url(0, 3)
+    get_page = synth_page(url, site)
+    post_page = synth_page(url, site, method="POST", body=b"q=1&form=1")
+    post_page2 = synth_page(url, site, method="POST", body=b"q=2&form=1")
+    assert get_page.status == post_page.status == 200
+    # distinct content: hash-derived fields differ
+    assert (post_page.content_length, post_page.outlinks) != (
+        get_page.content_length,
+        get_page.outlinks,
+    )
+    assert (post_page.content_length, post_page.outlinks) != (
+        post_page2.content_length,
+        post_page2.outlinks,
+    )  # body-sensitive too
+    assert post_page.image_id is None  # data endpoints serve no image
+    # plain GET keeps the historical page hash (fixture stability)
+    canon = url  # already canonical-enough for the hash comparison
+    assert _page_hash(canon, site) == _page_hash(canon, site, method="GET", body=None)

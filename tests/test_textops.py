@@ -64,13 +64,14 @@ def test_simhash_near_pairs(spark, docs):
     assert pairs[(0, 1)] == 0  # identical pair always blocked together
     # every returned pair honors the threshold, none fabricated
     assert all(h <= 16 for h in pairs.values())
-    # pigeonhole guarantee: any pair with hamming <= 3 must be found
+    # pigeonhole guarantee is COMPLETE at the requested radius now
+    # (max_hamming+1 blocks): every pair within the radius must be found
     import itertools
 
     for a, b in itertools.combinations(sorted(t), 2):
         h = bin((t[a] ^ t[b]) & ((1 << 64) - 1)).count("1")
-        if h <= 3:
-            assert (a, b) in pairs
+        if h <= 16:
+            assert (a, b) in pairs and pairs[(a, b)] == h
 
 
 def test_cosine_topk_exact_vs_numpy(spark):
