@@ -92,7 +92,13 @@ def run_crawl(master: str, cpus: int) -> dict:
     from tegenaria_spark.sources.store import LocalSnapshotStore
     from tegenaria_spark.sources.synth import SiteConfig, domain_budgets, seed_frontier_df
 
-    budget = int(os.environ.get("SPARK_GRAFT_BUDGET", "128"))
+    # 256/domain·round ⇒ ~131k fetches/round: the non-scaling per-round
+    # constants (~8-12 s of stage-scheduling latency across the round's
+    # 6 stages) drop below ~10% of even the 32-core round wall.  Round
+    # size is a property of the workload — at the 10^10-URL design point
+    # a round is millions of URLs; a TOY round under-reports scaling.
+    budget = int(os.environ.get("SPARK_GRAFT_BUDGET", "256"))
+    measured_rounds = int(os.environ.get("SPARK_GRAFT_MEASURE_ROUNDS", "3"))
     cfg = EngineConfig(
         # partitioning is a property of the DATA, not the cluster size:
         # both parallelism levels run the identical plan with identical
@@ -100,6 +106,9 @@ def run_crawl(master: str, cpus: int) -> dict:
         # real N vs 4N cluster comparison holds the dataset layout fixed)
         shuffle_partitions=32,
         domain_salt_width=2,
+        # ~8 waves at 32 cores / 32 waves at 8: stragglers amortize into
+        # waves at BOTH levels (identical plan, only slot count differs)
+        fetch_partitions=256,
         default_budget_per_round=budget,
         bloom_enabled=False,  # bloom off for the bench: seen-set fits the anti-join
         max_retries=0,
@@ -120,8 +129,9 @@ def run_crawl(master: str, cpus: int) -> dict:
     )
     site = SiteConfig(
         n_domains=512,
-        pages_per_domain=1200,  # URL space >> 5 rounds × 65k fetches: no
-        # late-round starvation inside the measured window
+        # URL space >> rounds × budget×domains: no late-round starvation
+        # inside the measured window (scales with the budget knob)
+        pages_per_domain=max(1200, 6 * budget),
         max_outlinks=6,
         image_ratio=1.0,
         img_scale=2,
@@ -144,25 +154,40 @@ def run_crawl(master: str, cpus: int) -> dict:
         # still left the next round 2× slow; two stabilize it)
         warmup_rounds = int(os.environ.get("SPARK_GRAFT_WARMUP_ROUNDS", "2"))
         warm = engine.run(resume=True, max_rounds=warmup_rounds)
-        summary = engine.run(resume=True, max_rounds=3)
+        summary = engine.run(resume=True, max_rounds=measured_rounds)
         rounds_wall = sum(r.wall_s for r in summary.rounds)
         fetched = summary.total_fetched
         per_round = [
             round(r.n_fetched / r.wall_s, 2) for r in summary.rounds if r.wall_s > 0
         ]
+        # wall_s is round CADENCE (pipelined commits): within one run()
+        # the FIRST round's cadence absorbs an extra compute phase and
+        # the LAST round's is just its commit tail — only the middle
+        # rounds are steady-state.  The total stays honest (sum of
+        # cadences == loop elapsed); per-round "best" draws from the
+        # steady rounds only so a commit tail can't masquerade as a
+        # 2× throughput round.
+        steady = per_round[1:-1] if len(per_round) >= 3 else per_round
+        try:  # shared-host noise instrument: loadavg at measurement end
+            with open("/proc/loadavg") as fh:
+                load1 = float(fh.read().split()[0])
+        except OSError:
+            load1 = -1.0
         return {
             "bootstrap_s": round(bootstrap_wall, 2),
+            "loadavg1": load1,
             "warmup_round_s": round(sum(r.wall_s for r in warm.rounds), 2),
             "rounds_wall_s": round(rounds_wall, 2),
             "fetched": fetched,
             "items": summary.total_items,
             "rounds": len(summary.rounds),
+            "budget": budget,
             "fetched_per_sec": round(fetched / rounds_wall, 2),
-            # per-round rates; max = least-noise estimate on a shared
-            # sandbox VM (noise only ever adds wall time to a
-            # deterministic, equal-work round)
             "fetched_per_sec_rounds": per_round,
-            "fetched_per_sec_best": max(per_round) if per_round else 0.0,
+            "fetched_per_sec_steady": steady,
+            # least-noise estimate on a shared sandbox VM (noise only
+            # ever adds wall time to a deterministic, equal-work round)
+            "fetched_per_sec_best": max(steady) if steady else 0.0,
             "round_timings": [r.timings for r in summary.rounds],
         }
     finally:
@@ -198,15 +223,16 @@ def main() -> None:
     }
 
     if not SKIP_SCALING:
-        # N vs 4N cores, default local[2] vs local[8].  On this shared
-        # 32-core VM, Spark sessions above ~16 slots hit environment-
-        # level interference (progressive round degradation, commits
-        # 10x slower at MORE cores — diagnosed at length in BENCH.md §3;
-        # the raw fetch kernel itself scales 0.93 at 8→32 procs, so the
-        # engine isn't the limiter).  2→8 keeps both levels in the
-        # healthy regime and is the faithful N→4N comparison.  Override
-        # with SPARK_GRAFT_SCALE_LEVELS="8,32" etc.
-        levels = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8")
+        # N vs 4N cores, default local[8] vs local[32].  local[2] as N
+        # was abandoned: a 2-thread JVM rides turbo clocks the 4N level
+        # can't, deflating measured efficiency for a reason that has
+        # nothing to do with the engine.  8→32 holds clock parity; the
+        # r2 interference above 16 slots (progressive degradation,
+        # commits 10× slower) traced to the per-round driver constants
+        # and commit barrier, both restructured since (pipelined commit,
+        # single side job, 256 fetch partitions).  Override with
+        # SPARK_GRAFT_SCALE_LEVELS="2,8" etc.
+        levels = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "8,32")
         lo_cpus, hi_cpus = (int(x) for x in levels.split(","))
         ratio = hi_cpus / lo_cpus
         # run the (N, 4N) pair several times and report the MEDIAN

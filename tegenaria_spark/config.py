@@ -48,6 +48,13 @@ class EngineConfig:
     # --- partitioning / skew (north_rule: explicit salting).
     shuffle_partitions: int = 32
     domain_salt_width: int = 4      # S: one hot domain spreads over S tasks
+    # fetch-stage task count (0 ⇒ shuffle_partitions · salt width).  Set
+    # it to SEVERAL WAVES per core at the largest cluster size you run:
+    # the fetch stage is the round's long pole, and with ~1 wave the
+    # slowest task gates the whole stage (straggler) — many small tasks
+    # let dynamic scheduling even the load.  A property of the DATA/plan,
+    # so hold it fixed when comparing cluster sizes.
+    fetch_partitions: int = 0
     # frontier/url_seen hash-bucket count (the store's manifest
     # granularity: commit rewrites only changed buckets).  Scale with
     # frontier size — at 10^10 URLs use O(10^4) buckets so a bucket is

@@ -72,7 +72,12 @@ def png_encode(pixels: np.ndarray) -> bytes:
     return (
         _PNG_SIG
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        # level 1: ingest-path choice — this payload is noise-heavy, so
+        # higher levels buy little size (measured ≈level-6 bytes AND
+        # ≈level-6 speed here; kept at 1 as the principled ingest
+        # default).  Decode (and so pixel/phash parity) is
+        # level-independent.
+        + _chunk(b"IDAT", zlib.compress(raw.tobytes(), 1))
         + _chunk(b"IEND", b"")
     )
 

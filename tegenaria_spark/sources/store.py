@@ -186,6 +186,7 @@ class LocalSnapshotStore:
 
         def write(df: DataFrame, path: str, table: str) -> None:
             import time as _time
+            from pyspark.sql.types import BinaryType
 
             _t0 = _time.time()
             if os.path.exists(path):
@@ -195,7 +196,13 @@ class LocalSnapshotStore:
             # coalesce is shuffle-free over pinned blocks
             if df.rdd.getNumPartitions() > max_files:
                 df = df.coalesce(max_files)
-            df.write.mode("overwrite").parquet(path)
+            writer = df.write.mode("overwrite")
+            if any(isinstance(f.dataType, BinaryType) for f in df.schema.fields):
+                # payload tables (image bytes) are ALREADY compressed
+                # (PNG/JPEG) — snappy on top re-compresses incompressible
+                # data: pure CPU burn on the commit path's biggest table
+                writer = writer.option("compression", "uncompressed")
+            writer.parquet(path)
             write_times[table] = round(_time.time() - _t0, 2)
             rows = [
                 (r, table, pid, snapshot_id, n)

@@ -112,3 +112,42 @@ def test_spark_fingerprint_matches_oracle(spark):
         assert got["fp"] == py_fingerprint(m, u, b, h)
         assert got["canon_url"] == py_canonicalize(u)[0]
         assert got["domain"] == py_canonicalize(u)[1]
+
+
+def test_response_decode_surface(spark):
+    """``.String()``/``.Json()`` equivalents (response.go:89-113) as
+    Catalyst expressions over a binary body column."""
+    import pyspark.sql.functions as F
+
+    from tegenaria_spark.functions.decode import response_json, response_text
+
+    rows = [
+        (1, '{"title": "t1", "n": 3}'.encode()),
+        (2, '{"title": "t2", "n": 7}'.encode()),
+        (3, b"not json at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, body binary")
+
+    text = {r["id"]: r["t"] for r in df.select("id", response_text("body").alias("t")).collect()}
+    assert text[1] == '{"title": "t1", "n": 3}'
+    assert text[4] is None  # nullable by design; coalesce for Go's ""
+
+    parsed = {
+        r["id"]: r["j"]
+        for r in df.select(
+            "id", response_json(df, "body", schema="title STRING, n INT").alias("j")
+        ).collect()
+    }
+    assert parsed[1]["title"] == "t1" and parsed[1]["n"] == 3
+    assert parsed[2]["title"] == "t2" and parsed[2]["n"] == 7
+    assert parsed[3]["title"] is None  # malformed → PERMISSIVE nulls
+    assert parsed[4] is None
+
+    inferred = {
+        r["id"]: r["j"]
+        for r in df.filter(F.col("id") <= 2)
+        .select("id", response_json(df.filter(F.col("id") <= 2), "body", infer=True).alias("j"))
+        .collect()
+    }
+    assert inferred[2]["n"] == 7

@@ -154,8 +154,13 @@ def test_lineage_rows_written(spark, tmp_store_dir):
 
 
 def test_event_hooks_fire_in_order(spark, tmp_store_dir):
-    """events.go:30-148 surface: START → (ROUND_START → HEARTBEAT →
-    ROUND_END)×rounds → STOP; a raising handler is contained."""
+    """events.go:30-148 surface: START first, STOP last, per round
+    ROUND_START → HEARTBEAT → ROUND_END; a raising handler is contained.
+
+    The run loop pipelines round N+1's compute with round N's commit,
+    so ROUND_END(N) legitimately fires AFTER ROUND_START(N+1) — the
+    contract is per-round ordering plus monotone round sequences, not a
+    strict global interleave."""
     from tegenaria_spark.plans import events as ev
     from tegenaria_spark.plans.engine import CrawlEngine
     from tegenaria_spark.sources.store import LocalSnapshotStore
@@ -165,22 +170,35 @@ def test_event_hooks_fire_in_order(spark, tmp_store_dir):
     store = LocalSnapshotStore(tmp_store_dir, spark)
     engine = CrawlEngine(spark, store, site, CFG)
 
-    seen: list[str] = []
+    seen: list[tuple[str, int]] = []
     for name in (ev.START, ev.ROUND_START, ev.HEARTBEAT, ev.ROUND_END, ev.STOP):
-        engine.events.register(name, lambda _n=name, **kw: seen.append(_n))
+        engine.events.register(
+            name, lambda _n=name, round_no=None, **kw: seen.append((_n, round_no))
+        )
     engine.events.register(ev.ROUND_START, lambda **kw: 1 / 0)  # contained
 
     summary = engine.run(seed_urls(site, n_seeds=6), max_rounds=10)
     n = len(summary.rounds)
     assert n >= 1
-    assert seen[0] == ev.START and seen[-1] == ev.STOP
-    assert seen.count(ev.ROUND_START) == n
-    assert seen.count(ev.HEARTBEAT) == n
-    assert seen.count(ev.ROUND_END) == n
-    # per-round ordering
-    per_round = seen[1:-1]
-    for i in range(n):
-        assert per_round[3 * i : 3 * i + 3] == [ev.ROUND_START, ev.HEARTBEAT, ev.ROUND_END]
+    assert seen[0][0] == ev.START and seen[-1][0] == ev.STOP
+    names = [t[0] for t in seen]
+    assert names.count(ev.ROUND_START) == n
+    assert names.count(ev.HEARTBEAT) == n
+    assert names.count(ev.ROUND_END) == n
+
+    def positions(name):
+        return [(i, rq) for i, (nm, rq) in enumerate(seen) if nm == name]
+
+    starts = positions(ev.ROUND_START)
+    hbs = positions(ev.HEARTBEAT)
+    ends = positions(ev.ROUND_END)
+    # each event class walks rounds in order
+    assert [rq for _, rq in starts] == list(range(n))
+    assert [rq for _, rq in hbs] == list(range(n))
+    assert [rq for _, rq in ends] == list(range(n))
+    # per-round ordering: START(q) ≤ HEARTBEAT(q) < END(q)
+    for q in range(n):
+        assert starts[q][0] < hbs[q][0] < ends[q][0]
 
 
 def test_plugin_chains_run_in_priority_order(spark, tmp_store_dir):
