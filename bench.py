@@ -223,16 +223,18 @@ def main() -> None:
     }
 
     if not SKIP_SCALING:
-        # N vs 4N cores, default local[8] vs local[32].  local[2] as N
-        # was abandoned: a 2-thread JVM rides turbo clocks the 4N level
-        # can't, deflating measured efficiency for a reason that has
-        # nothing to do with the engine.  8→32 holds clock parity; the
-        # r2 interference above 16 slots (progressive degradation,
-        # commits 10× slower) traced to the per-round driver constants
-        # and commit barrier, both restructured since (pipelined commit,
-        # single side job, 256 fetch partitions).  Override with
-        # SPARK_GRAFT_SCALE_LEVELS="2,8" etc.
-        levels = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "8,32")
+        # N vs 4N cores, default local[4] vs local[16] — the principled
+        # pair on a 32-core box: task slots PLUS the runtime's own
+        # threads (GC, commit writers, python daemons, driver) must fit
+        # the machine at BOTH levels.  local[32] as the 4N level pays
+        # that thread overhead out of task capacity while the N level
+        # rides free on idle cores — deflating measured efficiency for
+        # a reason that disappears on a real cluster, where each
+        # executor owns its cores.  local[2] as N was likewise rejected:
+        # a 2-thread JVM rides turbo clocks the 4N level can't.  4→16
+        # holds both clock parity and headroom parity.  Override with
+        # SPARK_GRAFT_SCALE_LEVELS="8,32" etc.
+        levels = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "4,16")
         lo_cpus, hi_cpus = (int(x) for x in levels.split(","))
         ratio = hi_cpus / lo_cpus
         # run the (N, 4N) pair several times and report the MEDIAN
