@@ -243,7 +243,8 @@ def main() -> None:
         # must be an aggregate of repeats, with every run recorded
         repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
         runs = []
-        for i in range(repeats):
+
+        def run_pair():
             crawl_lo = run_crawl_subprocess(f"local[{lo_cpus}]", lo_cpus)
             crawl_hi = run_crawl_subprocess(f"local[{hi_cpus}]", hi_cpus)
             runs.append(
@@ -260,9 +261,6 @@ def main() -> None:
                     ),
                 }
             )
-        effs = sorted(r["eff"] for r in runs)
-        med = effs[len(effs) // 2] if len(effs) % 2 else (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
-        last = runs[-1]
 
         def compact(level: dict) -> dict:
             # per-round DAG-stage timings are diagnostics, not results —
@@ -271,22 +269,61 @@ def main() -> None:
             # round_timings overflowed the driver's output-tail buffer)
             return {k: v for k, v in level.items() if k != "round_timings"}
 
-        result["crawl"] = {
-            f"local[{lo_cpus}]": compact(last[f"local[{lo_cpus}]"]),
-            f"local[{hi_cpus}]": compact(last[f"local[{hi_cpus}]"]),
-            "fetched_urls_per_sec_lo": last[f"local[{lo_cpus}]"]["fetched_per_sec"],
-            "fetched_urls_per_sec_hi": last[f"local[{hi_cpus}]"]["fetched_per_sec"],
-            "runs": [
-                {"eff": r["eff"], "eff_best_round": r["eff_best_round"]} for r in runs
-            ],
-            "scaling_efficiency": round(med, 3),
-            "scaling_efficiency_best_round": max(r["eff_best_round"] for r in runs),
-        }
-        # full per-round timing detail (all repeats, both levels) for
-        # offline analysis — BENCH.md cites this file
-        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-        with open(detail_path, "w") as fh:
-            json.dump({"summary": result, "runs": runs}, fh, indent=1)
+        def publish() -> None:
+            """Rebuild the crawl summary from the pairs so far, persist
+            the detail side file, and print ONE complete JSON line.  A
+            full snapshot prints after the query phase and after EVERY
+            pair, so if an outer time-box kills the bench mid-scaling,
+            the last stdout line is still a complete, parseable artifact
+            covering everything measured (with pairs_done telling the
+            reader how far it got)."""
+            if runs:
+                effs = sorted(r["eff"] for r in runs)
+                med = (
+                    effs[len(effs) // 2]
+                    if len(effs) % 2
+                    else (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
+                )
+                last = runs[-1]
+                result["crawl"] = {
+                    f"local[{lo_cpus}]": compact(last[f"local[{lo_cpus}]"]),
+                    f"local[{hi_cpus}]": compact(last[f"local[{hi_cpus}]"]),
+                    "fetched_urls_per_sec_lo": last[f"local[{lo_cpus}]"]["fetched_per_sec"],
+                    "fetched_urls_per_sec_hi": last[f"local[{hi_cpus}]"]["fetched_per_sec"],
+                    "pairs_done": len(runs),
+                    "runs": [
+                        {"eff": r["eff"], "eff_best_round": r["eff_best_round"]}
+                        for r in runs
+                    ],
+                    "scaling_efficiency": round(med, 3),
+                    "scaling_efficiency_best_round": max(
+                        r["eff_best_round"] for r in runs
+                    ),
+                }
+                # full per-round timing detail (all repeats, both
+                # levels) for offline analysis — BENCH.md cites this
+                detail_path = os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+                )
+                with open(detail_path, "w") as fh:
+                    json.dump({"summary": result, "runs": runs}, fh, indent=1)
+            print(json.dumps(result), flush=True)
+
+        publish()  # queries-only snapshot, in case scaling never finishes
+        for i in range(repeats):
+            run_pair()
+            publish()
+        # tie-breaker (sound, pre-registered): with exactly 2 pairs and
+        # min(eff) < 0.8, one more pair decides the median-of-3.  Early
+        # stop at 2 only when BOTH pairs ≥ 0.8 — then ANY third outcome
+        # would leave the median ≥ 0.8, so skipping it cannot flip the
+        # verdict; when one pair absorbed a host-noise burst (identical
+        # code measures 0.4-1.0 on this shared VM), a 2-sample "median"
+        # is just the mean of one clean and one wrecked run.  All pairs
+        # are recorded either way.
+        if len(runs) == 2 and min(r["eff"] for r in runs) < 0.8:
+            run_pair()
+            publish()
 
     # the FINAL stdout line is the official machine-readable artifact —
     # keep it compact (the driver tails output)
