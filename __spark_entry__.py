@@ -171,6 +171,17 @@ def _a3_count_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n"))
 
 
+def _a3_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A3's streaming rendering: the same daily rollup as a Structured
+    # Streaming stateful aggregation (file source → event-time tumbling
+    # window → complete-mode memory sink), drained with availableNow.
+    # SURVEY §2.6: streaming is a skin over the same round semantics —
+    # this certifies the stateful streaming plan in the driver contract.
+    from tegenaria_spark.streaming.rounds import stream_windowed_counts
+
+    return stream_windowed_counts(spark, f"{sf_dir}/events.parquet")
+
+
 def _a6_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A6 seen-set union
     events = _t(spark, sf_dir, "events").select(F.col("user_id").alias("key"))
@@ -232,6 +243,35 @@ def _m1_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _m10_response_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # M10 response decode surface (.String()/.Json(), response.go:89-113):
+    # rows are serialized to JSON *binary bodies* (the fetched-payload
+    # shape), then decoded back entirely inside Catalyst — encode →
+    # decode → from_json, no Python.  The oracle reads the same fields
+    # straight off the table, so the decode chain must be lossless.
+    from tegenaria_spark.functions.decode import response_json
+
+    orders = _t(spark, sf_dir, "orders")
+    bodies = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.encode(
+            F.to_json(F.struct("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
+            "UTF-8",
+        ).alias("body"),
+    )
+    j = response_json(
+        bodies,
+        "body",
+        schema="o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_orderpriority STRING",
+    )
+    return bodies.select(j.alias("j")).select(
+        F.col("j.o_orderkey").alias("o_orderkey"),
+        F.col("j.o_custkey").alias("o_custkey"),
+        F.col("j.o_orderstatus").alias("status"),
+        F.col("j.o_orderpriority").alias("priority"),
+    )
+
+
 def _q8_backpressure_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Q8 bounded in-flight: global top-100 by priority analog
     orders = _t(spark, sf_dir, "orders")
@@ -271,6 +311,12 @@ def _dedup_jaccard_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tegenaria_spark.operators.textdedup import word_jaccard_pairs
 
     return word_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold_pct=95)
+
+
+def _dedup_jaccard_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tegenaria_spark.operators.textdedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold_pct=90)
 
 
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -454,12 +500,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_dedup_rate": _a5_dedup_rate,
         "a1_metrics_counts": _a1_metrics_counts,
         "a3_count_over_time": _a3_count_over_time,
+        "a3_stream_windowed_counts": _a3_stream_windowed_counts,
         "a6_union_distinct": _a6_union_distinct,
         "a8_outcome_rollup": _a8_outcome_rollup,
         "m1_transform_chain": _m1_transform_chain,
+        "m10_response_decode": _m10_response_decode,
         "join_broadcast_rollup": _agg_join_broadcast,
         "dedup_exact": _dedup_exact,
         "dedup_jaccard_words": _dedup_jaccard_words,
+        "dedup_jaccard_ngrams": _dedup_jaccard_ngrams,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "text_quality": _text_quality,
@@ -542,6 +591,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n "
             "FROM events GROUP BY 1, 2"
         ),
+        "a3_stream_windowed_counts": (
+            "SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n "
+            "FROM events GROUP BY 1, 2"
+        ),
         "a6_union_distinct": (
             "SELECT user_id AS key FROM events UNION SELECT o_custkey AS key FROM orders"
         ),
@@ -556,6 +609,10 @@ def oracle_sql() -> dict[str, str]:
             "           AS disc_price_cents, "
             "       (l_returnflag = 'R')::INT AS is_return "
             "FROM lineitem WHERE l_quantity >= 25"
+        ),
+        "m10_response_decode": (
+            "SELECT o_orderkey, o_custkey, o_orderstatus AS status, "
+            "       o_orderpriority AS priority FROM orders"
         ),
         "join_broadcast_rollup": (
             "SELECT c_mktsegment, count(*) AS n_orders, "
@@ -580,6 +637,22 @@ def oracle_sql() -> dict[str, str]:
             "       (ca.n + cb.n - i) AS n_union "
             "FROM inter JOIN counts ca ON da = ca.doc_id JOIN counts cb ON db = cb.doc_id "
             "WHERE i * 100 >= 95 * (ca.n + cb.n - i)"
+        ),
+        "dedup_jaccard_ngrams": (
+            "WITH toks AS ("
+            "  SELECT DISTINCT doc_id, substr(lt, CAST(i AS INT), 3) AS w "
+            "  FROM (SELECT doc_id, lower(text) AS lt, "
+            "               unnest(generate_series(1, length(lower(text)) - 2)) AS i "
+            "        FROM documents WHERE length(text) >= 3)), "
+            "counts AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), "
+            "inter AS ("
+            "  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i "
+            "  FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id "
+            "  GROUP BY 1, 2) "
+            "SELECT da AS doc_a, db AS doc_b, i AS n_common, "
+            "       (ca.n + cb.n - i) AS n_union "
+            "FROM inter JOIN counts ca ON da = ca.doc_id JOIN counts cb ON db = cb.doc_id "
+            "WHERE i * 100 >= 90 * (ca.n + cb.n - i)"
         ),
         "text_quality": (
             "SELECT doc_id, length(text) AS n_chars, "

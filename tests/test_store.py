@@ -8,7 +8,7 @@ import os
 import pytest
 
 from tegenaria_spark.schemas import URL_SEEN_SCHEMA
-from tegenaria_spark.sources.store import LocalSnapshotStore
+from tegenaria_spark.sources.store import CommitConflictError, LocalSnapshotStore
 
 
 def _seen(spark, fps, rnd=0):
@@ -76,6 +76,91 @@ def test_lineage_counts_match_rows(spark, tmp_store_dir):
         by_table[r["table"]] = by_table.get(r["table"], 0) + r["n_rows"]
     assert by_table["frontier"] == 100
     assert by_table["url_seen"] == 100
+
+
+def test_multi_writer_commit_is_exclusive(spark, tmp_store_dir):
+    """Two writers racing the SAME round on one root: exactly one
+    commits; the loser raises CommitConflictError before touching any
+    data dir, so the winner's committed data is intact (the Iceberg
+    optimistic-catalog guarantee, realised as an O_EXCL claim +
+    O_EXCL marker publish — store.py module docstring)."""
+    import threading
+
+    store_a = LocalSnapshotStore(tmp_store_dir, spark)
+    store_b = LocalSnapshotStore(tmp_store_dir, spark)
+    f = _seen(spark, [1, 2, 3]).withColumnRenamed("fp", "x")
+
+    results: dict[str, object] = {}
+    barrier = threading.Barrier(2)
+
+    def attempt(name, store, fps):
+        barrier.wait()
+        try:
+            sid, counts = store.commit_round(0, f, _seen(spark, fps), {}, {"w": name})
+            results[name] = ("committed", sid, counts)
+        except CommitConflictError as e:
+            results[name] = ("conflict", str(e))
+
+    ts = [
+        threading.Thread(target=attempt, args=("a", store_a, [1, 2, 3])),
+        threading.Thread(target=attempt, args=("b", store_b, [4, 5, 6, 7])),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+
+    outcomes = sorted(v[0] for v in results.values())
+    assert outcomes == ["committed", "conflict"], results
+    winner = next(k for k, v in results.items() if v[0] == "committed")
+    # the committed snapshot is the winner's, consistent with its marker
+    m = store_a._marker(0)
+    assert m["stats"]["w"] == winner
+    assert store_a.read_url_seen(0).count() == m["row_counts"]["url_seen"]
+    # no stale claim left behind
+    assert not os.path.exists(store_a._claim_path(0))
+
+
+def test_second_writer_conflicts_after_commit(spark, tmp_store_dir):
+    """A round already committed is a conflict for any later attempt —
+    and the conflicting attempt must leave the committed data intact."""
+    store = LocalSnapshotStore(tmp_store_dir, spark)
+    f = _seen(spark, [1]).withColumnRenamed("fp", "x")
+    sid, _ = store.commit_round(0, f, _seen(spark, [1]), {}, {})
+    with pytest.raises(CommitConflictError):
+        store.commit_round(0, f, _seen(spark, [2]), {}, {})
+    assert store._marker(0)["snapshot_id"] == sid
+    assert {r["fp"] for r in store.read_url_seen(0).collect()} == {1}
+
+
+def test_stale_claim_from_dead_writer_is_stolen(spark, tmp_store_dir):
+    """A claim whose owner pid is gone (crashed writer) must not wedge
+    the round forever — the next writer steals it and commits."""
+    store = LocalSnapshotStore(tmp_store_dir, spark)
+    f = _seen(spark, [1]).withColumnRenamed("fp", "x")
+    with open(store._claim_path(0), "w") as fh:
+        json.dump({"snapshot_id": "snap-0-deadbeef", "pid": 2**22 + 1234567}, fh)
+    sid, _ = store.commit_round(0, f, _seen(spark, [1]), {}, {})
+    assert store.last_committed_round() == 0
+
+
+def test_read_log_schema_evolution_add_column(spark, tmp_store_dir):
+    """A column added to an append table in a later round reads back
+    with nulls for earlier rounds (add-column evolution on read)."""
+    import pyspark.sql.functions as F
+
+    store = LocalSnapshotStore(tmp_store_dir, spark)
+    f = _seen(spark, [0]).withColumnRenamed("fp", "x")
+    log0 = spark.createDataFrame([(0, "fetched")], "round INT, outcome STRING")
+    store.commit_round(0, f, _seen(spark, [1]), {"fetch_log": log0}, {})
+    log1 = spark.createDataFrame(
+        [(1, "fetched", 200)], "round INT, outcome STRING, status INT"
+    )
+    store.commit_round(1, f, _seen(spark, [2], rnd=1), {"fetch_log": log1}, {})
+    got = store.read_log("fetch_log", 1)
+    assert "status" in got.columns
+    rows = {r["round"]: r["status"] for r in got.collect()}
+    assert rows == {0: None, 1: 200}
 
 
 def test_concurrent_reader_snapshot_isolation(spark, tmp_store_dir):

@@ -15,6 +15,26 @@ from tegenaria_spark.streaming.rounds import stream_fetch_log_metrics
 CFG = EngineConfig(shuffle_partitions=4)
 
 
+def test_stream_windowed_counts_matches_batch(spark):
+    """The Structured Streaming tumbling-window rollup equals the batch
+    to_date groupBy — the A3 streaming skin's contract."""
+    from tegenaria_spark.streaming.rounds import stream_windowed_counts
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    got = {
+        (str(r["day"]), r["event_type"]): r["n"]
+        for r in stream_windowed_counts(spark, path).collect()
+    }
+    batch = {
+        (str(r["day"]), r["event_type"]): r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == batch
+
+
 def test_fetch_log_metrics_stream_matches_batch(spark, tmp_store_dir):
     site = SiteConfig(n_domains=2, pages_per_domain=6)
     store = LocalSnapshotStore(tmp_store_dir, spark)

@@ -40,6 +40,51 @@ def test_word_jaccard_pairs(spark, docs):
     assert not any({3, 4, 5} & set(p) for p in pairs)
 
 
+def test_ngram_jaccard_pairs(spark, docs):
+    """Char-3-gram set Jaccard agrees with a brute-force python oracle
+    on every pair (exactness of the PPJoin prunes under the n-gram
+    tokenizer), and short/NULL texts never pair."""
+    from tegenaria_spark.operators.textdedup import ngram_jaccard_pairs
+
+    def grams(t):
+        t = (t or "").lower()
+        return {t[i : i + 3] for i in range(len(t) - 2)}
+
+    import itertools
+
+    want = {}
+    texts = dict((d, t) for d, t in DOCS)
+    for a, b in itertools.combinations(sorted(texts), 2):
+        ga, gb = grams(texts[a]), grams(texts[b])
+        if not ga or not gb:
+            continue
+        i = len(ga & gb)
+        u = len(ga | gb)
+        if i * 100 >= 70 * u:
+            want[(a, b)] = (i, u)
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["n_union"])
+        for r in ngram_jaccard_pairs(docs, n=3, threshold_pct=70).collect()
+    }
+    assert got == want
+    assert (0, 1) in got  # exact dup pair survives any threshold
+    assert not any(6 in p for p in got)  # empty text has no 3-grams
+
+
+def test_ngram_jaccard_short_texts(spark):
+    from tegenaria_spark.operators.textdedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(0, "ab"), (1, "ab"), (2, None), (3, "abc"), (4, "abc")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(df, threshold_pct=50).collect()
+    }
+    assert got == {(3, 4)}  # sub-n and NULL texts tokenize to nothing
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     from tegenaria_spark.operators.textdedup import minhash_lsh_pairs
 
