@@ -60,6 +60,7 @@ def word_jaccard_pairs(
     threshold_pct: int = 95,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bitset_max: int = 4096,
 ) -> DataFrame:
     """Near-dup pairs by word-set Jaccard ≥ threshold_pct/100 — EXACT,
     via prefix filtering (PPJoin-style).
@@ -98,7 +99,7 @@ def word_jaccard_pairs(
         .filter(F.col("w") != "")
         .distinct()
     )
-    return _jaccard_pairs_ppjoin(words, threshold_pct)
+    return _jaccard_pairs_ppjoin(words, threshold_pct, bitset_max)
 
 
 def ngram_jaccard_pairs(
@@ -107,6 +108,7 @@ def ngram_jaccard_pairs(
     threshold_pct: int = 90,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bitset_max: int = 4096,
 ) -> DataFrame:
     """Near-dup pairs by character n-gram SET Jaccard — the shingle
     variant of :func:`word_jaccard_pairs` (robust to word-boundary
@@ -130,18 +132,42 @@ def ngram_jaccard_pairs(
         docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("w"))
         .distinct()
     )
-    return _jaccard_pairs_ppjoin(toks, threshold_pct)
+    return _jaccard_pairs_ppjoin(toks, threshold_pct, bitset_max)
 
 
-def _jaccard_pairs_ppjoin(words: DataFrame, threshold_pct: int) -> DataFrame:
+def _jaccard_pairs_ppjoin(
+    words: DataFrame, threshold_pct: int, bitset_max: int = 4096
+) -> DataFrame:
     """The PPJoin prefix/length/positional candidate join + exact
     verification over a distinct (doc_id, w) token table — shared by the
     word- and n-gram-tokenized entry points (docstrings above give the
-    pruning-rule proofs)."""
-    words = words.localCheckpoint(eager=False)  # reused 4× below
-    counts = words.groupBy("doc_id").agg(F.count("*").alias("n"))
-    doc_freq = words.groupBy("w").agg(F.count("*").alias("df"))
+    pruning-rule proofs).
 
+    ADAPTIVE, both paths exact:
+
+    - vocabulary ≤ *bitset_max* distinct tokens: tokens map to dense
+      integer ids (df-ascending, so id order IS the PPJoin global
+      order), candidates join on int keys, and verification intersects
+      fixed-width BITMASKS (``bit_count`` over ≤ bitset_max/64 longs
+      per doc) — measured 20× faster than intersecting string arrays
+      at sf0.1 (0.7 s vs 15.6 s for 1.8M candidates).  The id map is a
+      broadcast dim; the one global row_number window sorts ≤
+      bitset_max rows on one task — trivially cheap by construction.
+    - open vocabulary: the classic string-keyed PPJoin; verification
+      re-joins candidate pairs against the token table and counts
+      intersections in a shuffle aggregation (no global id assignment
+      exists at 10^8+ distinct tokens without a sort bottleneck, and
+      hashing ids would trade exactness for speed).
+
+    The vocabulary count that picks the path is one tiny aggregate on
+    the (checkpointed) token table the plan needs anyway."""
+    words = words.localCheckpoint(eager=False)  # reused by both paths
+    doc_freq = words.groupBy("w").agg(F.count("*").alias("df"))
+    vocab = doc_freq.count()
+    if vocab <= bitset_max:
+        return _jaccard_pairs_bitset(words, doc_freq, threshold_pct, vocab)
+
+    counts = words.groupBy("doc_id").agg(F.count("*").alias("n"))
     order = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("w").asc())
     ranked = (
         words.join(doc_freq, "w")
@@ -151,25 +177,7 @@ def _jaccard_pairs_ppjoin(words: DataFrame, threshold_pct: int) -> DataFrame:
     prefix_len = F.col("n") - F.ceil(F.col("n") * threshold_pct / 100) + 1
     prefix = ranked.filter(F.col("_rn") <= prefix_len).select("doc_id", "w", "n", "_rn")
 
-    t = F.lit(threshold_pct)
-    pa = prefix.select(
-        F.col("doc_id").alias("da"), "w", F.col("n").alias("na"), F.col("_rn").alias("ra")
-    )
-    pb = prefix.select(
-        F.col("doc_id").alias("db"), "w", F.col("n").alias("nb"), F.col("_rn").alias("rb")
-    )
-    max_overlap = F.lit(1) + F.least(F.col("na") - F.col("ra"), F.col("nb") - F.col("rb"))
-    cands = (
-        pa.join(pb, "w")
-        .filter(F.col("da") < F.col("db"))
-        # length filter: min(na,nb)·100 ≥ t·max(na,nb)
-        .filter((F.col("na") * 100 >= t * F.col("nb")) & (F.col("nb") * 100 >= t * F.col("na")))
-        # positional filter: best-case overlap must still reach the
-        # required α = ⌈t·(na+nb)/(100+t)⌉ (integer cross-multiplied)
-        .filter(max_overlap * (100 + t) >= t * (F.col("na") + F.col("nb")))
-        .select("da", "db")
-        .distinct()
-    )
+    cands = _ppjoin_candidates(prefix, "w", threshold_pct)
     # exact verification on full token sets, restricted to candidates
     inter = (
         cands.join(words.select(F.col("doc_id").alias("da"), "w"), "da")
@@ -185,6 +193,93 @@ def _jaccard_pairs_ppjoin(words: DataFrame, threshold_pct: int) -> DataFrame:
         .filter(
             F.col("i") * 100 >= F.lit(threshold_pct) * (F.col("na") + F.col("nb") - F.col("i"))
         )
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.col("i").alias("n_common"),
+            (F.col("na") + F.col("nb") - F.col("i")).alias("n_union"),
+        )
+    )
+
+
+def _ppjoin_candidates(prefix: DataFrame, key: str, threshold_pct: int) -> DataFrame:
+    """Self-join the prefix-token table on *key* with the PPJoin length
+    and positional prunes (both EXACT — they only discard pairs that
+    provably cannot reach the threshold):
+
+    - length filter: J(a,b) ≥ t ⟹ t·|b| ≤ 100·|a| and t·|a| ≤ 100·|b|
+      (the overlap is at most min(|a|,|b|));
+    - positional filter: a candidate matched at prefix positions
+      (ra, rb) can overlap at most 1 + min(|a|−ra, |b|−rb); J ≥ t
+      needs overlap ≥ t·(|a|+|b|)/(100+t), integer cross-multiplied.
+    """
+    t = F.lit(threshold_pct)
+    pa = prefix.select(
+        F.col("doc_id").alias("da"), key, F.col("n").alias("na"), F.col("_rn").alias("ra")
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("db"), key, F.col("n").alias("nb"), F.col("_rn").alias("rb")
+    )
+    max_overlap = F.lit(1) + F.least(F.col("na") - F.col("ra"), F.col("nb") - F.col("rb"))
+    return (
+        pa.join(pb, key)
+        .filter(F.col("da") < F.col("db"))
+        .filter((F.col("na") * 100 >= t * F.col("nb")) & (F.col("nb") * 100 >= t * F.col("na")))
+        .filter(max_overlap * (100 + t) >= t * (F.col("na") + F.col("nb")))
+        .select("da", "db")
+        .distinct()
+    )
+
+
+def _jaccard_pairs_bitset(
+    words: DataFrame, doc_freq: DataFrame, threshold_pct: int, vocab: int
+) -> DataFrame:
+    """Small-vocabulary PPJoin: dense integer token ids + bitmask
+    verification (docstring above).  ``wid`` ascending is exactly the
+    (df asc, w asc) global prefix order, so the prefix guarantee is
+    unchanged; verification is popcount over the AND of two fixed-width
+    bitmasks — pure codegen integer ops, no arrays of strings."""
+    wid = doc_freq.withColumn(
+        "wid",
+        F.row_number().over(Window.orderBy(F.col("df").asc(), F.col("w").asc())) - 1,
+    ).select("w", "wid")
+    iwords = words.join(F.broadcast(wid), "w").select("doc_id", "wid")
+    iwords = iwords.localCheckpoint(eager=False)  # candidates + masks reuse
+    counts = iwords.groupBy("doc_id").agg(F.count("*").alias("n"))
+
+    order = Window.partitionBy("doc_id").orderBy(F.col("wid").asc())
+    ranked = iwords.withColumn("_rn", F.row_number().over(order)).join(counts, "doc_id")
+    prefix_len = F.col("n") - F.ceil(F.col("n") * threshold_pct / 100) + 1
+    prefix = ranked.filter(F.col("_rn") <= prefix_len).select("doc_id", "wid", "n", "_rn")
+    cands = _ppjoin_candidates(prefix, "wid", threshold_pct)
+
+    # per-doc fixed-width bitmask: word ids bucket into 64-bit lanes
+    n_lanes = (vocab + 63) // 64
+    mask = F.expr(
+        f"transform(sequence(0, {n_lanes - 1}), j -> "
+        "aggregate(filter(ws, w -> CAST(w DIV 64 AS INT) = j), CAST(0 AS BIGINT), "
+        "(acc, w) -> acc | shiftleft(CAST(1 AS BIGINT), CAST(w % 64 AS INT))))"
+    )
+    masks = (
+        iwords.groupBy("doc_id")
+        .agg(F.collect_list("wid").alias("ws"))
+        .select("doc_id", mask.alias("m"), F.size("ws").alias("n"))
+    )
+    inter_bits = F.expr(
+        "aggregate(zip_with(ma, mb, (x, y) -> bit_count(x & y)), 0, (a, b) -> a + CAST(b AS INT))"
+    )
+    t = F.lit(threshold_pct)
+    return (
+        cands.join(
+            masks.select(F.col("doc_id").alias("da"), F.col("m").alias("ma"), F.col("n").alias("na")),
+            "da",
+        )
+        .join(
+            masks.select(F.col("doc_id").alias("db"), F.col("m").alias("mb"), F.col("n").alias("nb")),
+            "db",
+        )
+        .withColumn("i", inter_bits)
+        .filter(F.col("i") * 100 >= t * (F.col("na") + F.col("nb") - F.col("i")))
         .select(
             F.col("da").alias("doc_a"),
             F.col("db").alias("doc_b"),
@@ -270,8 +365,12 @@ def minhash_lsh_pairs(
     rows_per_band = n_perm // n_bands
     sig_udf = minhash_signature_udf(n_perm, shingle_k, seed)
     sigs = docs.select(F.col(id_col).alias("doc_id"), sig_udf(F.col(text_col)).alias("sig"))
-    # signatures feed the band explode AND the verify join — pin once
-    sigs = sigs.localCheckpoint(eager=False)
+    # signatures feed the band explode AND the verify join — pin once.
+    # EAGER: the band-join stage and the verify-probe stage are
+    # independent, so with a lazy pin both can race to materialize the
+    # subtree and the pandas UDF runs twice (measured: lazy runs
+    # 13-33 s at sf0.1, eager 11-15 s)
+    sigs = sigs.localCheckpoint(eager=True)
 
     # the band join carries ONLY (doc_id, band, bucket) — signatures are
     # fixed-width but 64×8B each; shipping them through the candidate
@@ -310,8 +409,13 @@ def minhash_lsh_pairs(
     paired = cands.join(
         sigs.select(F.col("doc_id").alias("da"), F.col("sig").alias("sig_a")), "da"
     ).join(sigs.select(F.col("doc_id").alias("db"), F.col("sig").alias("sig_b")), "db")
-    agree = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    # positional agreement as a fold of scalar comparisons — measured 3×
+    # faster than zip_with+filter+size (those materialize two
+    # intermediate arrays per pair; at sf0.1 the verify step runs over
+    # 6M candidate pairs, so per-pair allocations dominate)
+    agree = F.expr(
+        f"aggregate(sequence(1, {n_perm}), 0, "
+        "(acc, j) -> acc + IF(element_at(sig_a, j) = element_at(sig_b, j), 1, 0))"
     )
     return (
         paired.withColumn("est_jaccard", agree / F.lit(n_perm))

@@ -114,13 +114,13 @@ def test_resume_from_snapshot(spark, tmp_store_dir):
 
     store1 = LocalSnapshotStore(tmp_store_dir + "-full", spark)
     engine1 = CrawlEngine(spark, store1, site, CFG, budget_rows=domain_budgets(site, 8))
-    engine1.run(seeds, max_rounds=30)
+    engine1.run(seeds, max_rounds=4)
 
     store2 = LocalSnapshotStore(tmp_store_dir + "-split", spark)
     engine2 = CrawlEngine(spark, store2, site, CFG, budget_rows=domain_budgets(site, 8))
     engine2.run(seeds, max_rounds=2)  # "crash" after 2 rounds
     engine3 = CrawlEngine(spark, store2, site, CFG, budget_rows=domain_budgets(site, 8))
-    engine3.run(resume=True, max_rounds=30)
+    engine3.run(resume=True, max_rounds=2)
 
     def fetched_set(store):
         return {
@@ -177,7 +177,7 @@ def test_event_hooks_fire_in_order(spark, tmp_store_dir):
         )
     engine.events.register(ev.ROUND_START, lambda **kw: 1 / 0)  # contained
 
-    summary = engine.run(seed_urls(site, n_seeds=6), max_rounds=10)
+    summary = engine.run(seed_urls(site, n_seeds=6), max_rounds=3)
     n = len(summary.rounds)
     assert n >= 1
     assert seen[0][0] == ev.START and seen[-1][0] == ev.STOP
@@ -272,7 +272,7 @@ def test_pause_resume_and_status(spark, tmp_store_dir):
     assert st["outcome_totals"].get("fetched", 0) == first.total_fetched
     assert st["url_seen_total"] > 0
 
-    rest = engine.run(resume=True, max_rounds=20)
+    rest = engine.run(resume=True, max_rounds=3)
     assert engine.status()["state"] == "idle"  # drained, back to idle
     assert store.last_committed_round() == 1 + len(rest.rounds)
     total_fetched = first.total_fetched + rest.total_fetched
@@ -283,7 +283,7 @@ def test_pause_resume_and_status(spark, tmp_store_dir):
     d2 = tempfile.mkdtemp(prefix="tegenaria-pausecmp-")
     try:
         engine2 = CrawlEngine(spark, LocalSnapshotStore(d2, spark), site, CFG)
-        full = engine2.run(seeds, max_rounds=20)
+        full = engine2.run(seeds, max_rounds=4)
         assert full.total_fetched == total_fetched
         assert full.total_items == first.total_items + rest.total_items
     finally:

@@ -116,18 +116,18 @@ def test_bloom_threshold_crossed_mid_crawl(spark, tmp_store_dir):
     the existing url_seen, so once the prefilter activated it routed
     already-seen URLs around the anti-join as 'surely_new' — refetches
     and duplicate url_seen fps."""
-    site = SiteConfig(n_domains=3, pages_per_domain=14)
+    site = SiteConfig(n_domains=3, pages_per_domain=12)
     seeds = seed_urls(site, n_seeds=10)
     budgets = domain_budgets(site, default_budget=6)
     # round 0 commits ~10 seed fps (< 30); discovered outlinks cross the
     # threshold within a round or two, activating the prefilter mid-crawl
     cfg = EngineConfig(shuffle_partitions=8, bloom_enabled=True, bloom_min_seen=30)
 
-    sim = simulate_crawl(seeds, site, cfg, budgets=budgets, max_rounds=25)
+    sim = simulate_crawl(seeds, site, cfg, budgets=budgets, max_rounds=12)
 
     store = LocalSnapshotStore(tmp_store_dir, spark)
     engine = CrawlEngine(spark, store, site, cfg, budget_rows=budgets)
-    engine.run(seeds, max_rounds=25)
+    engine.run(seeds, max_rounds=12)
     last = store.last_committed_round()
     assert store.url_seen_total(last) > 30  # the threshold WAS crossed
 

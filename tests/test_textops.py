@@ -72,6 +72,22 @@ def test_ngram_jaccard_pairs(spark, docs):
     assert not any(6 in p for p in got)  # empty text has no 3-grams
 
 
+def test_jaccard_bitset_and_open_vocab_paths_agree(spark, docs):
+    """The small-vocabulary bitset fast path and the open-vocabulary
+    string PPJoin are the same exact operator — forcing the fallback
+    (bitset_max=0) must change nothing."""
+    from tegenaria_spark.operators.textdedup import word_jaccard_pairs
+
+    def rows(df):
+        return {
+            (r["doc_a"], r["doc_b"], r["n_common"], r["n_union"]) for r in df.collect()
+        }
+
+    fast = rows(word_jaccard_pairs(docs, 70))  # vocab ≈ 30 ⇒ bitset path
+    slow = rows(word_jaccard_pairs(docs, 70, bitset_max=0))
+    assert fast == slow and fast
+
+
 def test_ngram_jaccard_short_texts(spark):
     from tegenaria_spark.operators.textdedup import ngram_jaccard_pairs
 
