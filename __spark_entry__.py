@@ -370,6 +370,30 @@ def _doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def _pipeline_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The operators COMPOSE: language-ID + quality gates feed exact
+    # dedup, the canonical shape of a training-data ingestion pipeline
+    # (filter junk → keep one copy).  All three stages are the library
+    # operators, not re-implementations.
+    from tegenaria_spark.operators.textdedup import exact_dedup
+    from tegenaria_spark.operators.textstats import lang_id, quality_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_stats(docs).select("doc_id", "n_words", "n_punct", "n_chars")
+    l = lang_id(docs).select("doc_id", "lang_guess")
+    kept_ids = (
+        q.join(l, "doc_id")
+        .filter(
+            (F.col("lang_guess") == "en")
+            & (F.col("n_words") >= 15)
+            & (F.col("n_punct") * 10 <= F.col("n_chars"))
+        )
+        .select("doc_id")
+    )
+    kept = docs.join(kept_ids, "doc_id", "left_semi")
+    return exact_dedup(kept).select("kept_doc_id", "group_size")
+
+
 def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tegenaria_spark.operators.similarity import cosine_topk_bruteforce
     from tegenaria_spark.oracle_twins import expected_ann_topk
@@ -489,6 +513,22 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # image near-dup by perceptual hash: decode → phash (Arrow-batched
+    # UDF) → pigeonhole-blocked hamming join.  The twin brute-forces
+    # all pairs, so the blocked join's recall must be total.
+    from tegenaria_spark.operators.multimodal import extract_features, phash_near_pairs
+    from tegenaria_spark.oracle_twins import expected_phash_neardup
+    from tegenaria_spark.sources.synth import phash_testset
+
+    _ensure_fixture(
+        "multimodal_phash_neardup", sf_dir, lambda: expected_phash_neardup(24, 12, 8)
+    )
+    df = spark.createDataFrame(phash_testset(24, 12), "image_id string, bytes binary")
+    feats = extract_features(df)
+    return phash_near_pairs(feats, max_hamming=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "f1_dedup_anti_join": _f1_dedup_anti_join,
@@ -515,12 +555,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _text_lang_id,
         "text_token_counts": _text_token_counts,
         "doc_fingerprints": _doc_fingerprints,
+        "pipeline_quality_dedup": _pipeline_quality_dedup,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_cosine_topk_lsh": _ann_cosine_topk_lsh,
         "embedding_neardup": _embedding_neardup,
         "crawl_fingerprints": _crawl_fingerprints,
         "crawl_round_schedule": _crawl_round_schedule,
         "multimodal_features": _multimodal_features,
+        "multimodal_phash_neardup": _multimodal_phash_neardup,
     }
 
 
@@ -666,6 +708,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "text_lang_id": f"SELECT doc_id, {lang_case} AS lang_guess FROM documents",
+        "pipeline_quality_dedup": (
+            "WITH q AS ("
+            "  SELECT doc_id, text, length(text) AS n_chars, "
+            "         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words, "
+            "         length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct, "
+            f"        {lang_case} AS lang_guess "
+            "  FROM documents) "
+            "SELECT min(doc_id) AS kept_doc_id, count(*) AS group_size FROM q "
+            "WHERE lang_guess = 'en' AND n_words >= 15 AND n_punct * 10 <= n_chars "
+            "GROUP BY text"
+        ),
         "text_token_counts": (
             "SELECT doc_id, "
             "       len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) "
@@ -727,5 +780,9 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": (
             "SELECT image_id, w, h, fmt, phash "
             f"FROM read_parquet('{_fixture_path('multimodal_features')}')"
+        ),
+        "multimodal_phash_neardup": (
+            "SELECT image_a, image_b, hamming "
+            f"FROM read_parquet('{_fixture_path('multimodal_phash_neardup')}')"
         ),
     }

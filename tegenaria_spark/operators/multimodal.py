@@ -79,6 +79,33 @@ def extract_features(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     return df.mapInPandas(batches, schema=out_schema)
 
 
+def phash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 8,
+    phash_col: str = "phash",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Near-duplicate IMAGES by perceptual-hash hamming distance — the
+    payload-side dedup the image+caption store needs (re-encodes,
+    resizes, and small edits keep pHash within a few bits; exact
+    byte-hash dedup misses all of them).
+
+    Pure composition: the text SimHash blocking
+    (textdedup.hamming_near_pairs — pigeonhole-complete at the
+    requested radius) over the phash column the store already carries,
+    so the candidate join never compares all image pairs."""
+    from tegenaria_spark.operators.textdedup import hamming_near_pairs
+
+    return hamming_near_pairs(
+        df.select(id_col, phash_col),
+        max_hamming,
+        hash_col=phash_col,
+        id_col=id_col,
+        out_a="image_a",
+        out_b="image_b",
+    )
+
+
 def frame_sample_stub(df: DataFrame, every_n: int = 10, bytes_col: str = "bytes") -> DataFrame:
     """Video frame sampling — pure stub: the container has no video
     codec, so this raises at execution (NotImplementedError) while the

@@ -64,6 +64,7 @@ def image_parser(ok: DataFrame) -> tuple[DataFrame, DataFrame]:
     links = ok.select(
         F.col("enqueue_seq").alias("parent_seq"),
         F.col("priority").alias("parent_priority"),
+        F.col("parser").alias("parent_parser"),
         F.posexplode(F.col("outlinks")).alias("pos", "url"),
     )
     return items, links
@@ -154,9 +155,17 @@ def assign_enqueue_seq(links: DataFrame, round_no: int, cfg: EngineConfig, pin=N
 def links_to_candidates(links_with_seq: DataFrame, round_no: int, next_fetch_time_col) -> DataFrame:
     """Shape exploded outlinks as frontier candidate rows (S2 input).
 
-    Children inherit the parent's priority (the reference's quotes
-    spider enqueues next-page requests with default options,
-    example/quotes/spider.go:74-88)."""
+    Children inherit the parent's priority AND parser (the reference's
+    spiders route follow-up requests back through the spider's own
+    Parser unless overridden, example/quotes/spider.go:74-88) — a
+    custom spider's outlinks must not fall back to the flagship
+    image_parser.  ``parent_parser`` is optional in the links contract
+    for parsers that predate it."""
+    parser_col = (
+        F.coalesce(F.col("parent_parser"), F.lit("image_parser"))
+        if "parent_parser" in links_with_seq.columns
+        else F.lit("image_parser")
+    )
     return links_with_seq.select(
         F.concat(F.lit("ctx-"), F.col("enqueue_seq").cast("string")).alias("ctx_id"),
         F.col("url"),
@@ -165,7 +174,7 @@ def links_to_candidates(links_with_seq: DataFrame, round_no: int, next_fetch_tim
         F.lit(None).cast("binary").alias("body"),
         F.lit(None).cast("map<string,string>").alias("params"),
         F.lit(None).cast("map<string,string>").alias("meta"),
-        F.lit("image_parser").alias("parser"),
+        parser_col.alias("parser"),
         F.lit(False).alias("do_not_filter"),
         F.lit([]).cast("array<int>").alias("allow_status"),
         F.col("parent_priority").alias("priority"),

@@ -502,24 +502,33 @@ def simhash_chunk_layout(max_hamming: int) -> list[tuple[int, int]]:
     return layout
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8, **kw) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, block-joined on
-    max_hamming+1 bit-chunks — the pigeonhole count that makes the
-    blocking COMPLETE at the requested radius (4 fixed 16-bit chunks
-    only guaranteed radius 3; callers asking for 6 silently got
-    probabilistic recall beyond that).  More blocks ⇒ more join fan-out:
-    the radius is the recall contract AND the cost knob."""
-    t = simhash_table(docs, **kw)
+def hamming_near_pairs(
+    hashed: DataFrame,
+    max_hamming: int = 8,
+    hash_col: str = "simhash",
+    id_col: str = "doc_id",
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+) -> DataFrame:
+    """Pairs within *max_hamming* of any 64-bit hash column, block-joined
+    on max_hamming+1 bit-chunks — the pigeonhole count that makes the
+    blocking COMPLETE at the requested radius.  More blocks ⇒ more join
+    fan-out: the radius is the recall contract AND the cost knob.
+
+    Generic over the hash's provenance: SimHash text sketches
+    (:func:`simhash_near_pairs`) and image pHashes
+    (operators/multimodal.py ``phash_near_pairs``) share this exact
+    plan — chunk explode, per-chunk self-join, popcount verify."""
     layout = simhash_chunk_layout(max_hamming)
-    chunks = t.select(
-        "doc_id",
-        "simhash",
+    chunks = hashed.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_idx"),
-                        F.shiftrightunsigned(F.col("simhash"), shift)
+                        F.shiftrightunsigned(F.col(hash_col), shift)
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("chunk"),
                     )
@@ -527,13 +536,9 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8, **kw) -> DataFrame
                 ]
             )
         ).alias("c"),
-    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk")
-    a = chunks.select(
-        F.col("doc_id").alias("da"), F.col("simhash").alias("ha"), "chunk_idx", "chunk"
-    )
-    b = chunks.select(
-        F.col("doc_id").alias("db"), F.col("simhash").alias("hb"), "chunk_idx", "chunk"
-    )
+    ).select("_id", "_h", "c.chunk_idx", "c.chunk")
+    a = chunks.select(F.col("_id").alias("da"), F.col("_h").alias("ha"), "chunk_idx", "chunk")
+    b = chunks.select(F.col("_id").alias("db"), F.col("_h").alias("hb"), "chunk_idx", "chunk")
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
         a.join(b, ["chunk_idx", "chunk"])
@@ -541,5 +546,11 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8, **kw) -> DataFrame
         .dropDuplicates(["da", "db"])
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
-        .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"), "hamming")
+        .select(F.col("da").alias(out_a), F.col("db").alias(out_b), "hamming")
     )
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8, **kw) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance (blocking guarantees
+    in :func:`hamming_near_pairs`)."""
+    return hamming_near_pairs(simhash_table(docs, **kw), max_hamming)

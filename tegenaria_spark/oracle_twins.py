@@ -350,3 +350,24 @@ def expected_multimodal_features(n: int = 24) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["image_id", "w", "h", "fmt", "phash"]).astype(
         {"w": "int32", "h": "int32", "phash": "int64"}
     )
+
+
+def expected_phash_neardup(n_base: int = 24, n_dup: int = 12, max_hamming: int = 8) -> pd.DataFrame:
+    """Twin of the multimodal_phash_neardup query: decode + phash each
+    image in python, then BRUTE-FORCE all-pairs hamming — the blocked
+    join must find exactly the exhaustive-scan pairs (blocking is
+    pigeonhole-complete at the radius, so recall must be total)."""
+    import itertools
+
+    from tegenaria_spark.functions.images import decode_image, hamming64, phash64
+    from tegenaria_spark.sources.synth import phash_testset
+
+    hashes = {
+        image_id: phash64(decode_image(blob)) for image_id, blob in phash_testset(n_base, n_dup)
+    }
+    rows = []
+    for a, b in itertools.combinations(sorted(hashes), 2):
+        h = hamming64(hashes[a], hashes[b])
+        if h <= max_hamming:
+            rows.append((a, b, h))
+    return pd.DataFrame(rows, columns=["image_a", "image_b", "hamming"]).astype({"hamming": "int32"})

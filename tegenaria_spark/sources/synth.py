@@ -337,3 +337,29 @@ def domain_budgets(cfg: SiteConfig, default_budget: int = 16) -> list[dict]:
         budget = default_budget if k else max(4, default_budget // 2)  # hot domain throttled
         rows.append({"domain": cfg.domain(k), "budget_per_round": budget, "max_conns": 128})
     return rows
+
+
+def phash_testset(
+    n_base: int = 24, n_dup: int = 12, cfg: Optional[SiteConfig] = None
+) -> list[tuple[str, bytes]]:
+    """Deterministic (image_id, png_bytes) rows for image near-dup
+    tests: *n_base* distinct synthetic images plus, for the first
+    *n_dup* of them, a single-pixel-perturbed copy (suffix ``-dup``).
+    Lossless PNG both sides, so the perturbed copy decodes to pixels a
+    hair from its base — a pHash near-duplicate — while distinct bases
+    stay tens of bits apart.  Shared INPUT for the Spark query and its
+    python twin (the computation, not the input, is what the oracle
+    re-derives independently)."""
+    from tegenaria_spark.functions.images import encode_image
+
+    cfg = cfg or SiteConfig()
+    rows: list[tuple[str, bytes]] = []
+    for i in range(n_base):
+        image_id = f"img-{i:03d}-{i:04d}"
+        px = image_pixels(image_id, cfg)
+        rows.append((image_id, encode_image(px, "png")))
+        if i < n_dup:
+            perturbed = px.copy()
+            perturbed[0, 0, :] = (perturbed[0, 0, :].astype(np.int16) + 3).clip(0, 255).astype(px.dtype)
+            rows.append((f"{image_id}-dup", encode_image(perturbed, "png")))
+    return rows

@@ -112,11 +112,14 @@ def test_resume_from_snapshot(spark, tmp_store_dir):
     site = SiteConfig(n_domains=2, pages_per_domain=6)
     seeds = seed_urls(site, n_seeds=6)
 
-    store1 = LocalSnapshotStore(tmp_store_dir + "-full", spark)
+    import os
+
+    # derived dirs under the fixture dir so teardown removes them too
+    store1 = LocalSnapshotStore(os.path.join(tmp_store_dir, "full"), spark)
     engine1 = CrawlEngine(spark, store1, site, CFG, budget_rows=domain_budgets(site, 8))
     engine1.run(seeds, max_rounds=4)
 
-    store2 = LocalSnapshotStore(tmp_store_dir + "-split", spark)
+    store2 = LocalSnapshotStore(os.path.join(tmp_store_dir, "split"), spark)
     engine2 = CrawlEngine(spark, store2, site, CFG, budget_rows=domain_budgets(site, 8))
     engine2.run(seeds, max_rounds=2)  # "crash" after 2 rounds
     engine3 = CrawlEngine(spark, store2, site, CFG, budget_rows=domain_budgets(site, 8))

@@ -68,3 +68,25 @@ def test_phash_matches_pixels_for_png():
     rec = image_record("img-002-0007", "cap", "png", cfg)
     px = image_pixels("img-002-0007", cfg)
     assert phash64(decode_image(rec["bytes"])) == phash64(px) == rec["phash"]
+
+
+def test_phash_near_pairs_matches_bruteforce(spark):
+    """The blocked image near-dup join returns exactly the brute-force
+    all-pairs result (pigeonhole blocking is complete at the radius),
+    and every planted perturbed copy pairs with its base."""
+    from tegenaria_spark.operators.multimodal import extract_features, phash_near_pairs
+    from tegenaria_spark.oracle_twins import expected_phash_neardup
+    from tegenaria_spark.sources.synth import phash_testset
+
+    df = spark.createDataFrame(phash_testset(12, 6), "image_id string, bytes binary")
+    got = {
+        (r["image_a"], r["image_b"], r["hamming"])
+        for r in phash_near_pairs(extract_features(df), max_hamming=8).collect()
+    }
+    want = {
+        tuple(r) for r in expected_phash_neardup(12, 6, 8).itertuples(index=False)
+    }
+    assert got == want
+    # the planted near-dups are actually found
+    planted = {p for p in got if p[0] + "-dup" == p[1]}
+    assert len(planted) >= 4

@@ -18,8 +18,11 @@ CFG = EngineConfig(shuffle_partitions=4)
 
 
 def _get(addr, path):
-    with urllib.request.urlopen(f"http://{addr[0]}:{addr[1]}{path}", timeout=30) as r:
-        return r.status, json.loads(r.read())
+    try:
+        with urllib.request.urlopen(f"http://{addr[0]}:{addr[1]}{path}", timeout=30) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
 
 
 def _post(addr, path, payload):

@@ -35,6 +35,25 @@ def test_stream_windowed_counts_matches_batch(spark):
     assert got == batch
 
 
+def test_stateful_running_counts_matches_batch(spark):
+    """applyInPandasWithState per-key state machine: running totals over
+    the events stream settle to the batch groupBy counts."""
+    import tempfile
+
+    from tegenaria_spark.streaming.stateful import final_counts, stream_running_counts
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = stream_running_counts(spark, path, "event_type", ckpt, query_name="rc_test")
+        q.awaitTermination(120)
+    got = {r["key"]: r["n"] for r in final_counts(spark, "rc_test").collect()}
+    batch = {
+        r["event_type"]: r["count"]
+        for r in spark.read.parquet(path).groupBy("event_type").count().collect()
+    }
+    assert got == batch
+
+
 def test_fetch_log_metrics_stream_matches_batch(spark, tmp_store_dir):
     site = SiteConfig(n_domains=2, pages_per_domain=6)
     store = LocalSnapshotStore(tmp_store_dir, spark)
