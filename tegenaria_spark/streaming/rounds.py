@@ -98,7 +98,10 @@ def stream_windowed_counts(
     name = f"swc_{uuid.uuid4().hex[:8]}"
     import tempfile
 
-    with tempfile.TemporaryDirectory(prefix="swc-ckpt-") as ckpt:
+    # tmpfs for the checkpoint: the commit log is many tiny fsync'd
+    # writes — on the VM disk they dominate the drain wall
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    with tempfile.TemporaryDirectory(prefix="swc-ckpt-", dir=ckpt_base) as ckpt:
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")
