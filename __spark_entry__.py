@@ -529,6 +529,63 @@ def _multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_pairs(feats, max_hamming=8)
 
 
+def _dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # near-dup pairs -> connected components -> canonical doc per
+    # transitive cluster (the step that makes pair-wise dedup safe:
+    # A~B, B~C must collapse to ONE kept doc, not pairwise deletes).
+    # CC is the alternating large-star/small-star algorithm — O(log n)
+    # rounds regardless of cluster diameter (operators/cluster.py).
+    from tegenaria_spark.operators.cluster import canonical_assignments
+    from tegenaria_spark.operators.textdedup import word_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = word_jaccard_pairs(docs, threshold_pct=95).select("doc_a", "doc_b")
+    asg = canonical_assignments(docs.select("doc_id"), pairs)
+    w = Window.partitionBy("component")
+    return asg.withColumn("cluster_size", F.count("*").over(w).cast("long"))
+
+
+def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic per-stratum downsampling (curation rebalance):
+    # multiplicative-hash bucket so the oracle re-derives the exact
+    # sample in SQL; the library default is xxhash64 (curation.py).
+    from tegenaria_spark.operators.curation import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs,
+        {"en": 500, "fr": 300, "de": 200},
+        default_permille=100,
+        mode="multiplicative",
+    )
+    return out.select("doc_id", "lang", "bucket")
+
+
+def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tegenaria_spark.operators.curation import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def _image_caption_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the north-rule store shape end-to-end: image+caption rows ->
+    # decode -> phash (Arrow-batched) -> blocked hamming pairs ->
+    # connected components -> keep the best-captioned copy per visual
+    # cluster.  Twin re-derives everything via brute force + union-find.
+    from tegenaria_spark.operators.multimodal import caption_dedup, extract_features
+    from tegenaria_spark.oracle_twins import expected_caption_dedup
+    from tegenaria_spark.sources.synth import captioned_phash_testset
+
+    _ensure_fixture(
+        "image_caption_dedup", sf_dir, lambda: expected_caption_dedup(24, 12, 8)
+    )
+    df = spark.createDataFrame(
+        captioned_phash_testset(24, 12), "image_id string, bytes binary, caption string"
+    )
+    feats = extract_features(df)
+    return caption_dedup(feats, max_hamming=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "f1_dedup_anti_join": _f1_dedup_anti_join,
@@ -563,6 +620,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_round_schedule": _crawl_round_schedule,
         "multimodal_features": _multimodal_features,
         "multimodal_phash_neardup": _multimodal_phash_neardup,
+        "dedup_cluster_canonical": _dedup_cluster_canonical,
+        "sample_stratified": _sample_stratified,
+        "tfidf_top_terms": _tfidf_top_terms,
+        "image_caption_dedup": _image_caption_dedup,
     }
 
 
@@ -784,5 +845,62 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_phash_neardup": (
             "SELECT image_a, image_b, hamming "
             f"FROM read_parquet('{_fixture_path('multimodal_phash_neardup')}')"
+        ),
+        # transitive closure of the SAME jaccard-95 pair set, min-id per
+        # component via recursive CTE — independently re-derives what the
+        # large-star/small-star DataFrame loop computes
+        "dedup_cluster_canonical": (
+            "WITH RECURSIVE words AS ("
+            "  SELECT DISTINCT doc_id, w FROM ("
+            "    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) "
+            "  WHERE w <> ''), "
+            "counts AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id), "
+            "inter AS ("
+            "  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i "
+            "  FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id "
+            "  GROUP BY 1, 2), "
+            "pairs AS ("
+            "  SELECT da, db FROM inter "
+            "  JOIN counts ca ON da = ca.doc_id JOIN counts cb ON db = cb.doc_id "
+            "  WHERE i * 100 >= 95 * (ca.n + cb.n - i)), "
+            "edges AS (SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs), "
+            "reach(u, v) AS ("
+            "  SELECT u, v FROM edges "
+            "  UNION "
+            "  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), "
+            "comp AS (SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u), "
+            "asg AS ("
+            "  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component "
+            "  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id) "
+            "SELECT doc_id, component, "
+            "       count(*) OVER (PARTITION BY component) AS cluster_size FROM asg"
+        ),
+        "sample_stratified": (
+            "SELECT doc_id, lang, "
+            "       ((doc_id * 2654435761) % 4294967296) % 1000 AS bucket "
+            "FROM documents "
+            "WHERE ((doc_id * 2654435761) % 4294967296) % 1000 < "
+            "      CASE lang WHEN 'en' THEN 500 WHEN 'fr' THEN 300 "
+            "                WHEN 'de' THEN 200 ELSE 100 END"
+        ),
+        "tfidf_top_terms": (
+            "WITH words AS ("
+            "  SELECT doc_id, w AS term FROM ("
+            "    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) "
+            "  WHERE w <> ''), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2), "
+            "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM words GROUP BY 1), "
+            "n AS (SELECT count(*) AS n FROM documents), "
+            "scored AS ("
+            "  SELECT tf.doc_id, tf.term, tf.tf * ((n.n * 1000000) // df.df) AS score "
+            "  FROM tf JOIN df USING (term) CROSS JOIN n) "
+            "SELECT doc_id, term, "
+            "       (row_number() OVER (PARTITION BY doc_id "
+            "            ORDER BY score DESC, term ASC))::INT AS rank, score "
+            "FROM scored QUALIFY rank <= 3"
+        ),
+        "image_caption_dedup": (
+            "SELECT image_id, component, kept_image_id, cluster_size, is_kept "
+            f"FROM read_parquet('{_fixture_path('image_caption_dedup')}')"
         ),
     }

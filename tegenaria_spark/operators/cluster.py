@@ -1,0 +1,133 @@
+"""Connected components + canonical-member selection — the final stage
+of a near-dup pipeline (pairs -> clusters -> keep one representative).
+
+Every near-dup operator in this repo (word/ngram Jaccard, MinHash-LSH,
+SimHash, embedding IVF, image pHash) emits PAIRS.  A real training-data
+pipeline must then group transitively-connected documents into one
+cluster and keep a single canonical copy — pairs alone over-delete
+(A~B, B~C: deleting "the dup of each pair" can drop all three).  The
+reference has no corpus-level analog (its dedup is URL-level,
+dupefilters.go); this is the corpus-side completion.
+
+Algorithm: alternating **large-star / small-star** (Kiveris, Lattanzi,
+Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+and Beyond", ACM SoCC'14).  Both steps are pure DataFrame ops
+(groupBy-min + join); the edge set converges to a star forest whose
+edges are exactly (node -> component-min).  Rounds are O(log n) in the
+WORST case — independent of component diameter, unlike naive min-label
+propagation which needs O(diameter) rounds and dies on long chains
+(a 10^6-doc boilerplate chain at 100 TB would need 10^6 rounds; this
+needs ~20).
+
+Scale notes (100 TB):
+- state is only the edge set itself — no driver-side structures; the
+  per-round driver work is one signature aggregate (2 longs).
+- each round is two shuffles on node ids (groupBy + join); hot nodes
+  (a near-dup "hub") shrink after the first large-star because all its
+  larger neighbors re-point to the component min.
+- `localCheckpoint` truncates lineage every round, so the plan does
+  not grow with iterations (the classic iterative-Spark trap).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _canonical_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge set as (hi, lo) with hi > lo, self-loops dropped.
+    Works for any orderable node type (long doc_ids, string image_ids)."""
+    return (
+        pairs.select(
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+
+def _large_star(canon: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor v to
+    min(N(u) ∪ {u}).  Emitted as canonical (v, m) pairs — v > u >= m."""
+    both = canon.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionAll(
+        canon.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    )
+    m = both.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        both.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+
+def _small_star(canon: DataFrame) -> DataFrame:
+    """For each node u: connect u and all its smaller neighbors to the
+    smallest of them.  Operates directly on the canonical (hi, lo)
+    form — the lo's of a given hi ARE its smaller neighborhood."""
+    g = canon.groupBy("hi").agg(F.min("lo").alias("m"))
+    out = (
+        canon.join(g, "hi")
+        .select(F.col("lo").alias("a"), F.col("m").alias("b"))
+        .unionAll(g.select(F.col("hi").alias("a"), F.col("m").alias("b")))
+    )
+    return (
+        out.filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo"))
+        .distinct()
+    )
+
+
+def _signature(canon: DataFrame):
+    """Set convergence signature: (row count, xor of per-row xxhash64).
+    XOR is commutative and overflow-free (sum would trip ANSI int64
+    overflow); the edge set is distinct, so equal signatures across
+    rounds => identical edge sets w.h.p. — one tiny aggregate/round."""
+    return canon.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(hi, lo))").alias("h"),
+    ).first()
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 30
+) -> DataFrame:
+    """Component assignment for every node that appears in *pairs*:
+    returns (node, component) where component is the smallest node id
+    in the connected component.  Root nodes map to themselves;
+    nodes absent from *pairs* are absent here (join + coalesce for a
+    full assignment — see `canonical_assignments`).
+    """
+    canon = _canonical_edges(pairs, src, dst).localCheckpoint()
+    sig = _signature(canon)
+    for _ in range(max_iter):
+        if sig.n == 0:
+            break
+        nxt = _small_star(_large_star(canon)).localCheckpoint()
+        nsig = _signature(nxt)
+        canon = nxt
+        if (nsig.n, nsig.h) == (sig.n, sig.h):
+            break
+        sig = nsig
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    # star forest: every edge is (member, root); roots map to themselves
+    members = canon.select(F.col("hi").alias("node"), F.col("lo").alias("component"))
+    roots = canon.select(F.col("lo").alias("node"), F.col("lo").alias("component")).distinct()
+    return members.unionAll(roots).distinct()
+
+
+def canonical_assignments(
+    ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    src: str = "doc_a", dst: str = "doc_b", max_iter: int = 30,
+) -> DataFrame:
+    """Full-corpus canonical map: every id in *ids* gets its component
+    min (itself when it has no near-dups).  Output: (id_col, component)."""
+    cc = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
+    cc = cc.withColumnRenamed("node", id_col)
+    return ids.select(id_col).distinct().join(cc, id_col, "left").select(
+        id_col, F.coalesce("component", F.col(id_col)).alias("component")
+    )

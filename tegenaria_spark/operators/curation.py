@@ -1,0 +1,107 @@
+"""Training-data curation operators: deterministic stratified sampling
+and TF-IDF top-terms.
+
+No reference counterpart (Tegenaria stops at the crawl store); these
+are the corpus-curation steps between a 100 TB crawl and a training
+set: rebalance strata (language, source, quality band) by downsampling
+over-represented ones, and surface each document's most characteristic
+terms for inspection/faceting.
+
+Scale notes (100 TB):
+- sampling is a stateless per-row filter on a hash of the id — no
+  shuffle at all, no RNG state, reproducible across runs/partitions/
+  cluster sizes.  The rate table is a broadcast dim (a few rows).
+- tf-idf is two shuffles (doc-term counts, term df) + one broadcast-
+  able join; the per-doc top-k window shuffles on doc_id only.  The
+  corpus size enters as one scalar aggregate.
+- scores are scaled-integer (parts-per-million idf reciprocal), so
+  ranking is bit-stable across engines and architectures — no float
+  comparisons anywhere.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+# Knuth multiplicative hash constant (2^32 / golden ratio, public
+# domain).  Used for the SQL-expressible bucket so the DuckDB oracle
+# can re-derive buckets exactly; xxhash64 is the default for real use
+# (better avalanche; ids above 2^32 stay uniform).
+_KNUTH = 2654435761
+
+
+def sample_bucket(id_col, mode: str = "xxhash64"):
+    """Deterministic per-row bucket in [0, 1000) from the id column."""
+    if mode == "xxhash64":
+        return F.pmod(F.xxhash64(id_col), F.lit(1000))
+    if mode == "multiplicative":
+        return F.pmod(
+            F.pmod(F.col(id_col) * F.lit(_KNUTH), F.lit(4294967296)), F.lit(1000)
+        )
+    raise ValueError(f"unknown bucket mode: {mode}")
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates_permille: dict[str, int],
+    default_permille: int = 100,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    mode: str = "xxhash64",
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction: row survives iff
+    bucket(id) < permille(stratum).  Adds a ``bucket`` column.  The
+    same id always lands in the same bucket, so raising a stratum's
+    rate strictly grows its sample (nested samples — re-runs reuse
+    previously selected rows, the property incremental pipelines need).
+    """
+    spark = docs.sparkSession
+    rates = spark.createDataFrame(
+        [(k, int(v)) for k, v in rates_permille.items()],
+        f"{strata_col} string, permille int",
+    )
+    return (
+        docs.withColumn("bucket", sample_bucket(id_col, mode))
+        .join(F.broadcast(rates), strata_col, "left")
+        .withColumn("permille", F.coalesce("permille", F.lit(default_permille)))
+        .filter(F.col("bucket") < F.col("permille"))
+        .drop("permille")
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-*k* terms per document by an integer-scaled tf-idf:
+    ``score = tf * ((N * scale) div df)`` — tf and df exact counts,
+    idf the scaled reciprocal document frequency (monotone in the
+    classic log idf for ranking within a fixed corpus).  Integer
+    end-to-end so cross-engine comparison is exact.  Ties break by
+    term ascending.  Output: (id_col, term, rank, score).
+    """
+    n_docs = docs.count()  # one scalar aggregate; broadcast as a literal
+    words = (
+        docs.select(
+            F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_ = words.select(id_col, "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    scored = tf.join(df_, "term").withColumn(
+        "score",
+        (F.col("tf") * F.expr(f"(CAST({n_docs} AS BIGINT) * {scale}) div df")).cast("long"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "rank", "score")
+    )

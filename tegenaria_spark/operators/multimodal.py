@@ -106,6 +106,55 @@ def phash_near_pairs(
     )
 
 
+def caption_dedup(
+    images: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+    phash_col: str = "phash",
+) -> DataFrame:
+    """Image+caption store dedup, end to end: pHash near-dup pairs →
+    connected components (transitive visual clusters) → keep ONE image
+    per cluster, preferring the richest caption (longest; ties by id
+    ascending).  This is the curation step the north-rule's
+    image+caption table needs before training: re-encoded/resized
+    copies collapse, and the best caption survives.
+
+    Output: one row per input image — (id, component, kept_image_id,
+    cluster_size, is_kept).  Shuffles are bounded: the pair join is
+    pigeonhole-blocked, CC is O(log n) rounds, and the keep-best pass
+    is two component-keyed exchanges."""
+    from pyspark.sql import Window
+
+    from tegenaria_spark.operators.cluster import canonical_assignments
+
+    pairs = phash_near_pairs(images, max_hamming, phash_col=phash_col, id_col=id_col)
+    asg = canonical_assignments(
+        images.select(id_col), pairs, id_col=id_col, src="image_a", dst="image_b"
+    )
+    joined = images.select(id_col, caption_col).join(asg, id_col)
+    worder = Window.partitionBy("component").orderBy(
+        F.length(caption_col).desc(), F.col(id_col).asc()
+    )
+    ranked = joined.withColumn("_rn", F.row_number().over(worder))
+    kept = ranked.filter(F.col("_rn") == 1).select(
+        "component",
+        F.col(id_col).alias("kept_image_id"),
+    )
+    sizes = joined.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        joined.join(kept, "component")
+        .join(sizes, "component")
+        .select(
+            id_col,
+            "component",
+            "kept_image_id",
+            "cluster_size",
+            (F.col(id_col) == F.col("kept_image_id")).cast("int").alias("is_kept"),
+        )
+    )
+
+
 def frame_sample_stub(df: DataFrame, every_n: int = 10, bytes_col: str = "bytes") -> DataFrame:
     """Video frame sampling — pure stub: the container has no video
     codec, so this raises at execution (NotImplementedError) while the

@@ -371,3 +371,55 @@ def expected_phash_neardup(n_base: int = 24, n_dup: int = 12, max_hamming: int =
         if h <= max_hamming:
             rows.append((a, b, h))
     return pd.DataFrame(rows, columns=["image_a", "image_b", "hamming"]).astype({"hamming": "int32"})
+
+
+def expected_caption_dedup(
+    n_base: int = 24, n_dup: int = 12, max_hamming: int = 8
+) -> pd.DataFrame:
+    """Twin of the image_caption_dedup query: brute-force phash pairs,
+    sequential union-find for the visual clusters, then keep-best-
+    caption per cluster (longest caption, ties by id ascending) — all
+    re-derived independently of the DataFrame implementation."""
+    import itertools
+
+    from tegenaria_spark.functions.images import decode_image, hamming64, phash64
+    from tegenaria_spark.sources.synth import captioned_phash_testset
+
+    rows = captioned_phash_testset(n_base, n_dup)
+    hashes = {image_id: phash64(decode_image(blob)) for image_id, blob, _ in rows}
+    captions = {image_id: cap for image_id, _, cap in rows}
+
+    parent = {i: i for i in hashes}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(sorted(hashes), 2):
+        if hamming64(hashes[a], hashes[b]) <= max_hamming:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+    comp = {i: min(j for j in hashes if find(j) == find(i)) for i in hashes}
+    members: dict[str, list[str]] = {}
+    for i, c in comp.items():
+        members.setdefault(c, []).append(i)
+    kept = {
+        c: sorted(ms, key=lambda i: (-len(captions[i]), i))[0] for c, ms in members.items()
+    }
+    out = [
+        (
+            i,
+            comp[i],
+            kept[comp[i]],
+            len(members[comp[i]]),
+            1 if kept[comp[i]] == i else 0,
+        )
+        for i in sorted(hashes)
+    ]
+    return pd.DataFrame(
+        out, columns=["image_id", "component", "kept_image_id", "cluster_size", "is_kept"]
+    ).astype({"cluster_size": "int64", "is_kept": "int32"})

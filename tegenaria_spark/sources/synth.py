@@ -363,3 +363,21 @@ def phash_testset(
             perturbed[0, 0, :] = (perturbed[0, 0, :].astype(np.int16) + 3).clip(0, 255).astype(px.dtype)
             rows.append((f"{image_id}-dup", encode_image(perturbed, "png")))
     return rows
+
+
+def caption_for(image_id: str) -> str:
+    """Deterministic caption for a testset image — dup copies carry a
+    LONGER caption than their base, so keep-best-caption selection is
+    exercised non-trivially (the dup, not the base, must win)."""
+    if image_id.endswith("-dup"):
+        return f"photo {image_id} with a longer descriptive caption"
+    return f"photo {image_id}"
+
+
+def captioned_phash_testset(
+    n_base: int = 24, n_dup: int = 12, cfg: Optional[SiteConfig] = None
+) -> list[tuple[str, bytes, str]]:
+    """`phash_testset` rows + deterministic captions — the input_hint
+    image+caption shape.  Shared INPUT for the caption-dedup query and
+    its python twin."""
+    return [(i, b, caption_for(i)) for i, b in phash_testset(n_base, n_dup, cfg)]

@@ -1,0 +1,75 @@
+"""Curation operators: stratified sampling determinism/nesting, tf-idf
+ranking vs a direct pandas recomputation."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from tegenaria_spark.operators.curation import (
+    sample_bucket,
+    stratified_sample,
+    tfidf_top_terms,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"word{i % 7} shared common word{i % 3} tail{i}", ["en", "fr", "de", "zz"][i % 4])
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string").cache()
+
+
+def test_sample_deterministic_and_rates(docs):
+    out1 = stratified_sample(docs, {"en": 500, "fr": 250}, default_permille=100)
+    out2 = stratified_sample(docs, {"en": 500, "fr": 250}, default_permille=100)
+    ids1 = sorted(r.doc_id for r in out1.collect())
+    assert ids1 == sorted(r.doc_id for r in out2.collect())
+    # every surviving row's bucket respects its stratum's rate
+    for r in out1.collect():
+        limit = {"en": 500, "fr": 250}.get(r.lang, 100)
+        assert r.bucket < limit
+
+
+def test_sample_nested(docs):
+    lo = {r.doc_id for r in stratified_sample(docs, {"en": 200}, 100).collect()}
+    hi = {r.doc_id for r in stratified_sample(docs, {"en": 600}, 300).collect()}
+    assert lo <= hi  # raising rates only ADDS rows
+
+
+def test_sample_multiplicative_matches_formula(docs):
+    out = docs.withColumn("bucket", sample_bucket("doc_id", "multiplicative")).collect()
+    for r in out:
+        assert r.bucket == ((r.doc_id * 2654435761) % 4294967296) % 1000
+
+
+def test_tfidf_ranks_match_pandas(spark):
+    rows = [
+        (0, "apple banana apple cherry"),
+        (1, "banana banana cherry"),
+        (2, "apple cherry cherry dates"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(docs, k=2)
+    got = {(r.doc_id, r.rank): (r.term, r.score) for r in out.collect()}
+    # recompute directly
+    n, scale = 4, 1_000_000
+    corpora = {i: t.split() for i, t in rows if t}
+    df = {}
+    for toks in corpora.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    for i, toks in corpora.items():
+        tf = {t: toks.count(t) for t in set(toks)}
+        scored = sorted(
+            ((tf[t] * ((n * scale) // df[t]), t) for t in tf),
+            key=lambda p: (-p[0], p[1]),
+        )
+        for rank, (score, term) in enumerate(scored[:2], start=1):
+            assert got[(i, rank)] == (term, score)
+    assert not [k for k in got if k[0] == 3]  # empty doc emits nothing
