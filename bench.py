@@ -46,6 +46,9 @@ HEADLINE = [
     "embedding_neardup",
     "multimodal_phash_neardup",
     "a3_stream_windowed_counts",
+    "dedup_cluster_canonical",
+    "sample_stratified",
+    "tfidf_top_terms",
 ]
 
 

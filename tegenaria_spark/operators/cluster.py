@@ -93,7 +93,7 @@ def _signature(canon: DataFrame):
 
 
 def connected_components(
-    pairs: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 30
+    pairs: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
 ) -> DataFrame:
     """Component assignment for every node that appears in *pairs*:
     returns (node, component) where component is the smallest node id
@@ -122,7 +122,7 @@ def connected_components(
 
 def canonical_assignments(
     ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-    src: str = "doc_a", dst: str = "doc_b", max_iter: int = 30,
+    src: str = "doc_a", dst: str = "doc_b", max_iter: int = 50,
 ) -> DataFrame:
     """Full-corpus canonical map: every id in *ids* gets its component
     min (itself when it has no near-dups).  Output: (id_col, component)."""

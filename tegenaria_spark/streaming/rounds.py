@@ -155,3 +155,51 @@ def run_rounds_foreachBatch(
         .trigger(processingTime=interval)
         .start()
     )
+
+
+def stream_windowed_counts_watermarked(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    ckpt_dir: str,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> None:
+    """Watermarked APPEND-mode windowed counts — the unbounded-stream
+    form of A3: a window is emitted exactly once, when the watermark
+    passes its end, and events arriving later than *watermark* behind
+    the observed max event time are DROPPED (never re-open an emitted
+    window).  State is bounded by the watermark horizon — the property
+    that lets a 100 TB/day fetch-log stream run forever, unlike the
+    complete-mode variant whose state grows with distinct windows.
+
+    One ``availableNow`` drain per call; call again as new files land
+    in *in_dir* — the shared checkpoint carries the watermark across
+    drains (restart-safe, exactly-once through the parquet sink commit
+    log).  Results accumulate in *out_dir* (parquet).
+    """
+    batch_schema = spark.read.parquet(in_dir).schema
+    agg = (
+        spark.readStream.schema(batch_schema)
+        .parquet(in_dir)
+        # watermarks require TIMESTAMP (tz-aware); parquet written from
+        # naive pandas timestamps arrives as TIMESTAMP_NTZ
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"), F.col(key_col), F.col("n")
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
