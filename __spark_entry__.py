@@ -418,6 +418,18 @@ def _ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(emb, queries, dim=64, k=5, n_bits=8, n_tables=4)
 
 
+def _ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tegenaria_spark.operators.similarity import cosine_topk_ivf
+    from tegenaria_spark.oracle_twins import expected_ann_ivf
+
+    _ensure_fixture("ann_cosine_topk_ivf", sf_dir, lambda: expected_ann_ivf(_emb_pdf(sf_dir)))
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_ivf(emb, queries, dim=64, k=5, n_clusters=32, nprobe=4)
+
+
 def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tegenaria_spark.operators.similarity import embedding_neardup_pairs
 
@@ -615,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_quality_dedup": _pipeline_quality_dedup,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_cosine_topk_lsh": _ann_cosine_topk_lsh,
+        "ann_cosine_topk_ivf": _ann_cosine_topk_ivf,
         "embedding_neardup": _embedding_neardup,
         "crawl_fingerprints": _crawl_fingerprints,
         "crawl_round_schedule": _crawl_round_schedule,
@@ -829,6 +842,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk_lsh": (
             "SELECT query_id, neighbor_id, rank "
             f"FROM read_parquet('{_fixture_path('ann_cosine_topk_lsh')}')"
+        ),
+        "ann_cosine_topk_ivf": (
+            "SELECT query_id, neighbor_id, rank "
+            f"FROM read_parquet('{_fixture_path('ann_cosine_topk_ivf')}')"
         ),
         "crawl_fingerprints": (
             "SELECT ctx_id, canon_url, domain, fp "

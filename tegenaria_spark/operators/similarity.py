@@ -158,6 +158,136 @@ def cosine_topk_lsh(
     )
 
 
+def ivf_quantize_rows(mat: np.ndarray, bits: int = 20) -> np.ndarray:
+    """Row-normalize, then fixed-point quantize (×2^bits, rint).
+    Returns float64 holding exact integers.  Every step is row-local
+    (norm, divide, rint), so the result for a given row is identical
+    no matter how rows are batched into Arrow chunks."""
+    return np.rint(_normalize_rows(mat) * float(1 << bits))
+
+
+def ivf_fit_centroids_int(
+    sample_mat: np.ndarray, k: int, cent_bits: int = 10, seed: int = 7, iters: int = 8
+) -> np.ndarray:
+    """Spherical-k-means centroids quantized to ×2^cent_bits integers
+    (float64-held).  Quantizing the centroids makes every projection
+    below EXACT integer arithmetic: |row| ≤ 2^20, |centroid| ≤ 2^10,
+    dim ≤ 2^7 ⇒ every dot < 2^37 — exact in float64 GEMM regardless of
+    BLAS blocking, so cell assignment can never differ between the
+    Spark UDF and the single-threaded oracle twin (a float centroid
+    could flip an argmax near a tie)."""
+    cent = _fit_centroids(_normalize_rows(sample_mat), k, iters=iters, seed=seed)
+    return np.rint(cent * float(1 << cent_bits))
+
+
+def ivf_project(mat_f64: np.ndarray, cent_int: np.ndarray) -> np.ndarray:
+    """Exact integer projections of every row onto every centroid."""
+    return ivf_quantize_rows(mat_f64) @ cent_int.T
+
+
+def ivf_assign(mat_f64: np.ndarray, cent_int: np.ndarray) -> np.ndarray:
+    """Cell id per row: argmax projection, ties to the LOWEST cell id
+    (np.argmax's first-max rule — deterministic, twin-identical)."""
+    return np.argmax(ivf_project(mat_f64, cent_int), axis=1).astype(np.int32)
+
+
+def ivf_probes(mat_f64: np.ndarray, cent_int: np.ndarray, nprobe: int) -> np.ndarray:
+    """Top-*nprobe* cells per query row, ordered by (−projection, cell
+    id): stable argsort on exact integers — deterministic everywhere."""
+    proj = ivf_project(mat_f64, cent_int)
+    order = np.argsort(-proj, axis=1, kind="stable")
+    return order[:, :nprobe].astype(np.int32)
+
+
+def cosine_topk_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_clusters: int = 32,
+    nprobe: int = 4,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k neighbors via an IVF (inverted-file) index —
+    the centroid-blocked scale path next to :func:`cosine_topk_lsh`'s
+    hyperplane one.
+
+    Build: fit K spherical-k-means centroids on a driver-side sample
+    (O(K·dim) driver state, broadcast to executors in the UDF closure),
+    then one ``mapInPandas`` pass assigns every corpus vector to its
+    nearest cell — no shuffle; the index IS the cluster column.
+    Search: each query probes its *nprobe* nearest cells, candidates
+    come from a broadcast join on the cell id (the corpus never
+    shuffles; per-query work is the ~nprobe/K fraction of the corpus),
+    and only candidates get exact fold-cosine scoring + window top-k.
+    Recall is tunable: nprobe = K degrades to exact brute force.
+
+    All cell decisions are exact integer arithmetic (see
+    :func:`ivf_fit_centroids_int`), so results are bit-reproducible
+    against the single-threaded oracle twin; the final cosine is the
+    same JVM fold every other similarity operator uses.
+
+    At 100 TB: the corpus pass is embarrassingly parallel, the probe
+    join's build side is queries×nprobe rows (broadcast), and a skewed
+    cell (many vectors in one dense region) spreads across tasks
+    because the scoring is a map-side operation on the corpus
+    partitioning — no per-cell shuffle exists to collapse."""
+    spark = vectors.sparkSession
+    sample_rows = vectors.select(vec_col).orderBy(id_col).limit(sample_size).collect()
+    if not sample_rows:
+        return spark.createDataFrame([], "query_id long, neighbor_id long, rank int")
+    smat = np.array([list(r[0]) for r in sample_rows], dtype=np.float64)
+    kc = max(1, min(n_clusters, len(smat)))
+    cent_int = ivf_fit_centroids_int(smat, kc)
+
+    def assign_batches(it):
+        for pdf in it:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].values,
+                    "vec": pdf[vec_col].values,
+                    "cell": ivf_assign(mat, cent_int),
+                }
+            )
+
+    corpus = vectors.select(id_col, vec_col).mapInPandas(
+        assign_batches, "neighbor_id long, vec array<float>, cell int"
+    )
+
+    def probe_batches(it):
+        for pdf in it:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            probes = ivf_probes(mat, cent_int, min(nprobe, cent_int.shape[0]))
+            n_p = probes.shape[1]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf[query_id_col].values, n_p),
+                    "qvec": np.repeat(pdf[vec_col].values, n_p),
+                    "cell": probes.reshape(-1),
+                }
+            )
+
+    probed = queries.select(query_id_col, vec_col).mapInPandas(
+        probe_batches, "query_id long, qvec array<float>, cell int"
+    )
+
+    scored = (
+        corpus.join(F.broadcast(probed), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_col(F.col("qvec"), F.col("vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def embedding_neardup_pairs_exact(
     vectors: DataFrame,
     min_cosine: float = 0.4,

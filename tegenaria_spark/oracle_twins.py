@@ -217,6 +217,55 @@ def expected_ann_lsh(
     )
 
 
+def expected_ann_ivf(
+    emb: pd.DataFrame,
+    dim: int = 64,
+    k: int = 5,
+    n_clusters: int = 32,
+    nprobe: int = 4,
+    sample_size: int = 2048,
+    n_queries: int = 10,
+) -> pd.DataFrame:
+    """Twin of similarity.cosine_topk_ivf for the driver-contract query
+    (queries = vec_id < n_queries).  Shares the centroid/assignment
+    helpers with the operator — cell decisions are exact integer
+    arithmetic (ivf_fit_centroids_int docstring), so the candidate sets
+    are bit-identical by construction; ranking is the locked
+    fold-cosine with neighbor-id tie-break."""
+    from tegenaria_spark.operators.similarity import (
+        ivf_assign,
+        ivf_fit_centroids_int,
+        ivf_probes,
+    )
+
+    pdf = emb.sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    kc = max(1, min(n_clusters, min(sample_size, len(mat))))
+    cent_int = ivf_fit_centroids_int(mat[:sample_size], kc)
+    assign = ivf_assign(mat, cent_int)
+    qidx = np.nonzero(ids < n_queries)[0]
+    probes = ivf_probes(mat[qidx], cent_int, min(nprobe, kc))
+
+    rows = []
+    for qrow, qi in enumerate(qidx):
+        cells = set(int(c) for c in probes[qrow])
+        scored = sorted(
+            (
+                (fold_cosine(mat[qi], mat[vi]), int(ids[vi]))
+                for vi in np.nonzero(np.isin(assign, list(cells)))[0]
+                if ids[vi] != ids[qi]
+            ),
+            key=lambda t2: (-t2[0], t2[1]),
+        )
+        for rank, (_, nid) in enumerate(scored[:k], start=1):
+            rows.append((int(ids[qi]), nid, rank))
+    rows.sort()
+    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"]).astype(
+        {"query_id": "int64", "neighbor_id": "int64", "rank": "int32"}
+    )
+
+
 # ---------------------------------------------------------------------------
 # crawl-engine twins (synthetic seeds — sf-independent)
 # ---------------------------------------------------------------------------

@@ -191,6 +191,67 @@ def test_cosine_lsh_recall(spark):
     assert hits >= int(0.8 * len(exact))  # ≥80% recall@1 on clustered data
 
 
+def test_cosine_ivf_exact_when_probing_all_cells(spark):
+    from tegenaria_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    rng = np.random.RandomState(2)
+    vecs = rng.normal(size=(60, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id bigint, embedding array<float>",
+    )
+    queries = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sorted(
+        tuple(r)
+        for r in cosine_topk_bruteforce(df, queries, k=3).collect()
+    )
+    # nprobe == n_clusters probes every cell: must equal brute force exactly
+    ivf = sorted(
+        tuple(r)
+        for r in cosine_topk_ivf(
+            df, queries, dim=16, k=3, n_clusters=8, nprobe=8
+        ).collect()
+    )
+    assert ivf == exact
+
+
+def test_cosine_ivf_recall_on_clusters(spark):
+    from tegenaria_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(20, 16))
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(5):
+            rows.append((vid, [float(x) for x in b + rng.normal(scale=0.05, size=16)]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    queries = df.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk_bruteforce(df, queries, k=1).collect()
+    }
+    approx = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk_ivf(
+            df, queries, dim=16, k=1, n_clusters=16, nprobe=3
+        ).collect()
+    }
+    hits = sum(1 for k in exact if approx.get(k) == exact[k])
+    assert hits >= int(0.8 * len(exact))  # ≥80% recall@1 with 3/16 cells probed
+
+
 def test_lang_id(spark, docs):
     from tegenaria_spark.operators.textstats import lang_id
 
