@@ -360,6 +360,24 @@ def _text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_t(spark, sf_dir, "documents"))
 
 
+def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tegenaria_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def _decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # train/eval split is a deterministic id rule so the DuckDB oracle
+    # re-derives both sides; n=3 because the synthetic docs are word
+    # soup (real pipelines use 8-13; the plan is n-independent)
+    from tegenaria_spark.operators.curation import ngram_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 23 != 0)
+    eval_docs = docs.filter(F.col("doc_id") % 23 == 0)
+    return ngram_decontaminate(train, eval_docs, n=3, contaminated_ppm=100_000)
+
+
 def _doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tegenaria_spark.operators.textstats import doc_fingerprints
     from tegenaria_spark.oracle_twins import expected_doc_fingerprints
@@ -623,6 +641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _text_quality,
         "text_lang_id": _text_lang_id,
         "text_token_counts": _text_token_counts,
+        "text_repetition": _text_repetition,
+        "decontaminate_ngrams": _decontaminate_ngrams,
         "doc_fingerprints": _doc_fingerprints,
         "pipeline_quality_dedup": _pipeline_quality_dedup,
         "ann_cosine_topk": _ann_cosine_topk,
@@ -800,6 +820,61 @@ def oracle_sql() -> dict[str, str]:
             "       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) "
             "           AS n_bpe_segments "
             "FROM documents"
+        ),
+        # integer-ppm repetition signals; floor division (`div` / `//`)
+        # on both sides so no float ever crosses the engine boundary
+        "text_repetition": (
+            "WITH toks AS ("
+            "  SELECT doc_id, list_filter(string_split(lower(coalesce(text, '')), ' '), "
+            "                             w -> w <> '') AS ws FROM documents), "
+            "words AS (SELECT doc_id, unnest(ws) AS w FROM toks), "
+            "wc AS ("
+            "  SELECT doc_id, count(*) AS n_distinct, max(cnt) AS topc "
+            "  FROM (SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY doc_id, w) "
+            "  GROUP BY doc_id), "
+            "bg AS ("
+            "  SELECT doc_id, len(ws) AS nw, greatest(len(ws) - 1, 0) AS n_bg, "
+            "         len(list_distinct(list_transform(generate_series(1, len(ws) - 1), "
+            "             i -> ws[i] || ' ' || ws[i + 1]))) AS n_bg_d "
+            "  FROM toks) "
+            "SELECT bg.doc_id, CAST(bg.nw AS BIGINT) AS n_words, "
+            "  CAST(coalesce(CASE WHEN bg.nw > 0 THEN "
+            "    ((bg.nw - coalesce(wc.n_distinct, 0)) * 1000000) // bg.nw "
+            "    ELSE 0 END, 0) AS BIGINT) AS dup_word_ppm, "
+            "  CAST(coalesce(CASE WHEN bg.nw > 0 THEN "
+            "    (coalesce(wc.topc, 0) * 1000000) // bg.nw ELSE 0 END, 0) AS BIGINT) "
+            "    AS top_word_ppm, "
+            "  CAST(coalesce(CASE WHEN bg.n_bg > 0 THEN "
+            "    ((bg.n_bg - bg.n_bg_d) * 1000000) // bg.n_bg ELSE 0 END, 0) AS BIGINT) "
+            "    AS dup_bigram_ppm "
+            "FROM bg LEFT JOIN wc USING (doc_id)"
+        ),
+        # train/eval n-gram overlap; the eval set is the doc_id % 23
+        # stratum on both sides
+        "decontaminate_ngrams": (
+            "WITH grams AS ("
+            "  SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3 THEN "
+            "      list_transform(generate_series(1, len(ws) - 2), "
+            "                     i -> array_to_string(ws[i:i+2], ' ')) "
+            "      ELSE [] END) AS gs "
+            "  FROM (SELECT doc_id, list_filter(string_split(lower(coalesce(text, '')), ' '), "
+            "                                   w -> w <> '') AS ws FROM documents)), "
+            "ev AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 23 = 0), "
+            "tg AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 23 <> 0), "
+            "counts AS ("
+            "  SELECT tg.doc_id, count(*) AS n_ngrams, count(ev.g) AS n_matched "
+            "  FROM tg LEFT JOIN ev ON tg.g = ev.g GROUP BY tg.doc_id) "
+            "SELECT d.doc_id, "
+            "  CAST(coalesce(n_ngrams, 0) AS BIGINT) AS n_ngrams, "
+            "  CAST(coalesce(n_matched, 0) AS BIGINT) AS n_matched, "
+            "  CAST(coalesce(CASE WHEN n_ngrams > 0 THEN "
+            "    (coalesce(n_matched, 0) * 1000000) // n_ngrams ELSE 0 END, 0) AS BIGINT) "
+            "    AS matched_ppm, "
+            "  CAST(CASE WHEN coalesce(CASE WHEN n_ngrams > 0 THEN "
+            "    (coalesce(n_matched, 0) * 1000000) // n_ngrams ELSE 0 END, 0) >= 100000 "
+            "    THEN 1 ELSE 0 END AS INT) AS contaminated "
+            "FROM (SELECT doc_id FROM documents WHERE doc_id % 23 <> 0) d "
+            "LEFT JOIN counts USING (doc_id)"
         ),
         # fixture oracle (oracle_twins.expected_ann_topk): the fold-exact
         # twin — a DuckDB list_dot_product oracle sums in a different

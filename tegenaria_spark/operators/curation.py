@@ -105,3 +105,82 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "rank", "score")
     )
+
+
+def word_ngrams_col(text_col, n: int):
+    """Word *n*-gram array, entirely JVM-side: lowercase, split on
+    single space, drop empties, then one ``transform`` over the window
+    start offsets joining each *n*-token slice.  Guards ``size < n``
+    explicitly — Spark's ``sequence(1, 0)`` DESCENDS (yields [1, 0]),
+    which would fabricate phantom windows on short docs."""
+    t = F.lower(F.coalesce(text_col if not isinstance(text_col, str) else F.col(text_col), F.lit("")))
+    ws = F.filter(F.split(t, " "), lambda w: w != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, F.lit(n))),
+    )
+    return F.when(F.size(ws) >= n, grams).otherwise(
+        F.expr("cast(array() as array<string>)")
+    )
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    contaminated_ppm: int = 100_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/eval decontamination by word *n*-gram overlap — the gate
+    every LLM data pipeline runs before training (held-out benchmark
+    text must not leak into the training set; cf. GPT-3 appendix C /
+    PaLM §C.1 13-gram overlap decontamination).
+
+    Per train document: ``n_ngrams`` (distinct n-grams in the doc),
+    ``n_matched`` (of those, how many also occur anywhere in the eval
+    corpus), ``matched_ppm`` (integer floor ppm), and ``contaminated``
+    (matched_ppm ≥ threshold).  Documents shorter than *n* words have
+    zero n-grams and are clean by definition.
+
+    Plan shape (100 TB train / small eval): the eval n-gram set is
+    aggregated once and BROADCAST — the train side never shuffles for
+    the membership probe; the only wide exchange is the per-doc count
+    aggregation on doc_id (map-side combined).  If the eval corpus ever
+    outgrows broadcast range, drop the hint and the same plan degrades
+    to a shuffled hash join on the n-gram string — still never
+    all-pairs.
+    """
+    eval_grams = (
+        eval_docs.select(F.explode(word_ngrams_col(text_col, n)).alias("g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train_grams = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_ngrams_col(text_col, n))).alias("g"),
+    )
+    counts = (
+        train_grams.join(F.broadcast(eval_grams), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_matched"),
+        )
+    )
+    # docs with zero n-grams never reach `counts` (explode drops them):
+    # restore with a left join so the output covers every train doc
+    return (
+        train.select(F.col(id_col).alias("doc_id"))
+        .join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
+            F.expr(
+                "coalesce(if(n_ngrams > 0, (coalesce(n_matched, 0) * 1000000L)"
+                " div n_ngrams, 0L), 0L)"
+            ).alias("matched_ppm"),
+        )
+        .withColumn("contaminated", (F.col("matched_ppm") >= F.lit(contaminated_ppm)).cast("int"))
+    )

@@ -64,6 +64,78 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 "repetition
+    removal"), the standard quality gate between a crawl and a training
+    set: documents dominated by one word or by repeated phrases are
+    SEO spam / boilerplate, not prose.
+
+    Per document (all integer parts-per-million — no float compares):
+      - ``dup_word_ppm``     1 − distinct/total words
+      - ``top_word_ppm``     share of the single most frequent word
+      - ``dup_bigram_ppm``   1 − distinct/total word bigrams
+
+    Plan shape (100 TB): bigram stats are computed row-local with array
+    functions (zero shuffle); the word-mode needs a real aggregation —
+    one shuffle on (doc_id, word) then one on doc_id, both map-side
+    combined, then a doc_id equi-join back to the row-local stats.  No
+    Python anywhere.
+    """
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    ws = F.filter(F.split(t, " "), lambda w: w != "")
+    # bigrams row-local: guard size<2 (Spark's sequence(1, 0) would
+    # DESCEND, yielding phantom windows)
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, F.lit(2))),
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+
+    row_local = docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws.alias("_ws"),
+        bigrams.alias("_bg"),
+    ).select(
+        "doc_id",
+        F.size("_ws").alias("n_words"),
+        F.size("_bg").alias("_n_bg"),
+        F.size(F.array_distinct("_bg")).alias("_n_bg_distinct"),
+    )
+    word_mode = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(ws).alias("w"))
+        .groupBy("doc_id", "w")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n_distinct"),
+            F.max("count").alias("_top_cnt"),
+        )
+    )
+    j = row_local.join(word_mode, "doc_id", "left")
+    # exact integer floor division (`div`, never float `/`): ppm values
+    # must be bit-identical to the oracle's `//`
+    return j.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.expr(
+            "coalesce(if(n_words > 0, ((cast(n_words as bigint) - coalesce(_n_distinct, 0))"
+            " * 1000000L) div n_words, 0L), 0L)"
+        ).alias("dup_word_ppm"),
+        F.expr(
+            "coalesce(if(n_words > 0, (coalesce(_top_cnt, 0) * 1000000L) div n_words,"
+            " 0L), 0L)"
+        ).alias("top_word_ppm"),
+        F.expr(
+            "coalesce(if(_n_bg > 0, ((cast(_n_bg as bigint) - _n_bg_distinct) * 1000000L)"
+            " div _n_bg, 0L), 0L)"
+        ).alias("dup_bigram_ppm"),
+    )
+
+
 def py_winnow_fp(text: str, window: int = 8, stride: int = 4) -> int:
     """Oracle twin of :func:`winnow_fp_col`: min XXH64 over char windows."""
     from tegenaria_spark.functions.xxh64 import xxh64_str

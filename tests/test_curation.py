@@ -73,3 +73,43 @@ def test_tfidf_ranks_match_pandas(spark):
         for rank, (score, term) in enumerate(scored[:2], start=1):
             assert got[(i, rank)] == (term, score)
     assert not [k for k in got if k[0] == 3]  # empty doc emits nothing
+
+
+def test_ngram_decontaminate_flags_overlap(spark):
+    from tegenaria_spark.operators.curation import ngram_decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (0, "a b c d e"),       # shares "b c d" with eval
+            (1, "x y z w v"),       # clean
+            (2, "a b"),             # shorter than n: zero n-grams, clean
+            (3, None),              # NULL text: zero n-grams, clean
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "q q b c d q q")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_ngrams"], r["n_matched"], r["matched_ppm"], r["contaminated"])
+        for r in ngram_decontaminate(train, eval_docs, n=3, contaminated_ppm=100_000).collect()
+    }
+    assert out[0] == (3, 1, 333333, 1)
+    assert out[1] == (3, 0, 0, 0)
+    assert out[2] == (0, 0, 0, 0)
+    assert out[3] == (0, 0, 0, 0)
+    assert set(out) == {0, 1, 2, 3}  # every train doc appears exactly once
+
+
+def test_ngram_decontaminate_counts_distinct_grams(spark):
+    from tegenaria_spark.operators.curation import ngram_decontaminate
+
+    # repeated phrase inside one doc counts ONCE (distinct n-grams)
+    train = spark.createDataFrame(
+        [(0, "p q r p q r p q r")], "doc_id long, text string"
+    )
+    eval_docs = spark.createDataFrame([(9, "p q r")], "doc_id long, text string")
+    row = ngram_decontaminate(train, eval_docs, n=3).collect()[0]
+    # grams: {p q r, q r p, r p q} — 3 distinct of 7 positional windows
+    assert row["n_ngrams"] == 3
+    assert row["n_matched"] == 1

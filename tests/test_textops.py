@@ -310,3 +310,39 @@ def test_frame_sample_stub_raises(spark):
     assert "frame_idx" in out.columns  # plan is real
     with pytest.raises(Exception):  # noqa: B017 — PySpark wraps the NotImplementedError
         out.collect()  # execution hits the stub
+
+
+def test_repetition_stats_hand_case(spark, docs):
+    from tegenaria_spark.operators.textstats import repetition_stats
+
+    out = {
+        r["doc_id"]: (
+            r["n_words"],
+            r["dup_word_ppm"],
+            r["top_word_ppm"],
+            r["dup_bigram_ppm"],
+        )
+        for r in repetition_stats(docs).collect()
+    }
+    # doc 0: 9 words, "the" twice -> 8 distinct; 8 bigrams all distinct
+    assert out[0] == (9, 1000000 // 9, 2000000 // 9, 0)
+    # doc 6 is empty: everything zero
+    assert out[6] == (0, 0, 0, 0)
+    assert set(out) == set(range(7))
+
+
+def test_repetition_stats_repeated_phrase(spark):
+    from tegenaria_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(0, "spam spam spam spam"), (1, "a b a b a b")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_words"], r["dup_word_ppm"], r["top_word_ppm"], r["dup_bigram_ppm"])
+        for r in repetition_stats(df).collect()
+    }
+    # 4x "spam": 3/4 dup words, top word 4/4, bigrams 3 windows 1 distinct
+    assert out[0] == (4, 750000, 1000000, 2000000 // 3)
+    # "a b a b a b": 6 words 2 distinct; top 3/6; 5 bigrams 2 distinct
+    assert out[1] == (6, 4000000 // 6, 500000, 600000)
