@@ -43,12 +43,17 @@ HEADLINE = [
     "text_token_counts",
     "pipeline_quality_dedup",
     "ann_cosine_topk",
+    "ann_cosine_topk_ivf",
     "embedding_neardup",
     "multimodal_phash_neardup",
     "a3_stream_windowed_counts",
     "dedup_cluster_canonical",
+    "dedup_jaccard_ngrams",
     "sample_stratified",
     "tfidf_top_terms",
+    "text_repetition",
+    "decontaminate_ngrams",
+    "image_caption_dedup",
 ]
 
 
