@@ -597,6 +597,18 @@ def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tegenaria_spark.operators.curation import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
+
+
+def _pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tegenaria_spark.operators.textstats import pii_stats
+
+    return pii_stats(_t(spark, sf_dir, "documents"))
+
+
 def _image_caption_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the north-rule store shape end-to-end: image+caption rows ->
     # decode -> phash (Arrow-batched) -> blocked hamming pairs ->
@@ -657,6 +669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _sample_stratified,
         "tfidf_top_terms": _tfidf_top_terms,
         "image_caption_dedup": _image_caption_dedup,
+        "pack_sequences": _pack_sequences,
+        "pii_stats": _pii_stats,
     }
 
 
@@ -994,5 +1008,43 @@ def oracle_sql() -> dict[str, str]:
         "image_caption_dedup": (
             "SELECT image_id, component, kept_image_id, cluster_size, is_kept "
             f"FROM read_parquet('{_fixture_path('image_caption_dedup')}')"
+        ),
+        "pack_sequences": (
+            "WITH toks AS ("
+            "  SELECT doc_id, source AS shard, "
+            "         CAST(len(list_filter(string_split(lower(coalesce(text, '')), ' '), "
+            "                              w -> w <> '')) AS BIGINT) AS n_tokens "
+            "  FROM documents), "
+            "cums AS ("
+            "  SELECT doc_id, shard, n_tokens, "
+            "         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+            "              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum "
+            "  FROM toks) "
+            "SELECT doc_id, shard, n_tokens, "
+            "       CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_first, "
+            "       CAST((CASE WHEN n_tokens > 0 THEN cum - 1 ELSE cum END) // 512 AS BIGINT) "
+            "           AS seq_last, "
+            "       CAST((cum - n_tokens) % 512 AS BIGINT) AS seq_offset, "
+            "       CAST((CASE WHEN n_tokens > 0 THEN cum - 1 ELSE cum END) // 512 "
+            "            - (cum - n_tokens) // 512 + 1 AS BIGINT) AS n_seqs "
+            "FROM cums"
+        ),
+        "pii_stats": (
+            # patterns are the RE2∩Java-safe subset declared in
+            # textstats._PII_PATTERNS; counts on the original text,
+            # replacement order email → phone → ip, as in the operator
+            r"SELECT doc_id, "
+            r"  CAST(len(regexp_extract_all(coalesce(text, ''), "
+            r"       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, "
+            r"  CAST(len(regexp_extract_all(coalesce(text, ''), "
+            r"       '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones, "
+            r"  CAST(len(regexp_extract_all(coalesce(text, ''), "
+            r"       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips, "
+            r"  regexp_replace(regexp_replace(regexp_replace(coalesce(text, ''), "
+            r"       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            r"       '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'), "
+            r"       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') "
+            r"     AS redacted "
+            r"FROM documents"
         ),
     }

@@ -54,6 +54,8 @@ HEADLINE = [
     "text_repetition",
     "decontaminate_ngrams",
     "image_caption_dedup",
+    "pii_stats",
+    "pack_sequences",
 ]
 
 

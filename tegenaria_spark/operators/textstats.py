@@ -167,3 +167,33 @@ def doc_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc
         F.xxhash64(t).alias("content_hash"),
         winnow_fp_col(t).alias("winnow_fp"),
     )
+
+
+# PII patterns — deliberately restricted to a regex subset with
+# IDENTICAL semantics in Java regex (Spark) and RE2 (DuckDB oracle):
+# char classes, +, bounded repeats, \b.  No backrefs, no lookaround.
+_PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def pii_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII detection + redaction (emails, NANP-style phone numbers,
+    IPv4 addresses) — the privacy scrub every public-crawl training
+    pipeline runs before release.  Counts are taken on the ORIGINAL
+    text; ``redacted`` applies the replacements in declaration order
+    (email → phone → ip).  Pure Catalyst (`regexp_count` /
+    `regexp_replace` inside codegen) — zero shuffle, zero Python;
+    at 100 TB this is a map-only pass that pipelines into the scan.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}s")
+        for name, pat, _ in _PII_PATTERNS
+    ]
+    red = t
+    for _, pat, repl in _PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return docs.select(F.col(id_col).alias("doc_id"), *counts, red.alias("redacted"))

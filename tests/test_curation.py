@@ -113,3 +113,46 @@ def test_ngram_decontaminate_counts_distinct_grams(spark):
     # grams: {p q r, q r p, r p q} — 3 distinct of 7 positional windows
     assert row["n_ngrams"] == 3
     assert row["n_matched"] == 1
+
+
+def test_pack_sequences_hand_case(spark):
+    from tegenaria_spark.operators.curation import pack_sequences
+
+    # shard A: docs of 3, 4, 0, 5 tokens packed at seq_len=4
+    #   doc 0: tokens [0,3)   → seq 0 only, offset 0
+    #   doc 1: tokens [3,7)   → spans seq 0..1, offset 3
+    #   doc 2: empty at 7     → pins to seq 1 (its start boundary)
+    #   doc 3: tokens [7,12)  → spans seq 1..2, offset 3
+    # shard B packs independently from offset 0.
+    rows = [
+        (0, "A", "a b c"),
+        (1, "A", "d e f g"),
+        (2, "A", None),
+        (3, "A", "h i j k l"),
+        (10, "B", "x y"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r.doc_id: (r.n_tokens, r.seq_first, r.seq_last, r.seq_offset, r.n_seqs)
+        for r in pack_sequences(docs, seq_len=4).collect()
+    }
+    assert out[0] == (3, 0, 0, 0, 1)
+    assert out[1] == (4, 0, 1, 3, 2)
+    assert out[2] == (0, 1, 1, 3, 1)
+    assert out[3] == (5, 1, 2, 3, 2)
+    assert out[10] == (2, 0, 0, 0, 1)  # shard B restarts at zero
+
+
+def test_pack_sequences_shard_independence(spark):
+    from tegenaria_spark.operators.curation import pack_sequences
+
+    # total token count per shard is preserved: last doc's cum offset +
+    # its n_tokens == shard token total (no tokens lost or double-packed)
+    rows = [(i, "S" if i % 2 else "T", " ".join(["w"] * (i % 7))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = pack_sequences(docs, seq_len=8).collect()
+    per_shard = {}
+    for r in sorted(out, key=lambda r: r.doc_id):
+        end = r.seq_first * 8 + r.seq_offset + r.n_tokens
+        per_shard[r.shard] = per_shard.get(r.shard, 0) + r.n_tokens
+        assert end == per_shard[r.shard]  # contiguous: each doc starts where the previous ended

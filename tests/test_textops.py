@@ -346,3 +346,24 @@ def test_repetition_stats_repeated_phrase(spark):
     assert out[0] == (4, 750000, 1000000, 2000000 // 3)
     # "a b a b a b": 6 words 2 distinct; top 3/6; 5 bigrams 2 distinct
     assert out[1] == (6, 4000000 // 6, 500000, 600000)
+
+
+def test_pii_stats_counts_and_redaction(spark):
+    from tegenaria_spark.operators.textstats import pii_stats
+
+    rows = [
+        (0, "mail bob.smith+x@corp.example.com or call 415-555-0199 now"),
+        (1, "server at 10.0.255.7 and 192.168.1.1; no mail"),
+        (2, "plain text, phone-ish 12-345-6789 and not-ip 1.2.3"),
+        (3, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in pii_stats(docs).collect()}
+    assert (out[0].n_emails, out[0].n_phones, out[0].n_ips) == (1, 1, 0)
+    assert out[0].redacted == "mail <EMAIL> or call <PHONE> now"
+    assert (out[1].n_emails, out[1].n_phones, out[1].n_ips) == (0, 0, 2)
+    assert out[1].redacted == "server at <IP> and <IP>; no mail"
+    assert (out[2].n_emails, out[2].n_phones, out[2].n_ips) == (0, 0, 0)
+    assert out[2].redacted == rows[2][1]  # untouched
+    assert out[3].redacted == ""  # NULL text → empty, zero counts
+    assert (out[3].n_emails, out[3].n_phones, out[3].n_ips) == (0, 0, 0)
