@@ -597,6 +597,26 @@ def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+def _corpus_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # n=3 because the synthetic docs are short word soup; the plan is
+    # n-independent (grams become 64-bit keys either way)
+    from tegenaria_spark.operators.curation import corpus_dup_ngrams
+
+    return corpus_dup_ngrams(_t(spark, sf_dir, "documents"), n=3, min_df=2)
+
+
+def _reweight_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multiplicative bucket so DuckDB re-derives the exact kept set
+    from tegenaria_spark.operators.curation import reweight_to_token_budget
+
+    return reweight_to_token_budget(
+        _t(spark, sf_dir, "documents"),
+        {"src0": 300, "src1": 300, "src2": 200, "src3": 100, "src4": 50, "src5": 50},
+        total_target_tokens=10_000,
+        mode="multiplicative",
+    )
+
+
 def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tegenaria_spark.operators.curation import pack_sequences
 
@@ -671,6 +691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_caption_dedup": _image_caption_dedup,
         "pack_sequences": _pack_sequences,
         "pii_stats": _pii_stats,
+        "corpus_dup_ngrams": _corpus_dup_ngrams,
+        "reweight_token_budget": _reweight_token_budget,
     }
 
 
@@ -1046,5 +1068,49 @@ def oracle_sql() -> dict[str, str]:
             r"       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') "
             r"     AS redacted "
             r"FROM documents"
+        ),
+        "corpus_dup_ngrams": (
+            "WITH grams AS ("
+            "  SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3 THEN "
+            "      list_transform(generate_series(1, len(ws) - 2), "
+            "                     i -> array_to_string(ws[i:i+2], ' ')) "
+            "      ELSE [] END) AS gs "
+            "  FROM (SELECT doc_id, list_filter(string_split(lower(coalesce(text, '')), ' '), "
+            "                                   w -> w <> '') AS ws FROM documents)), "
+            "g AS (SELECT doc_id, unnest(gs) AS g FROM grams), "
+            "wd AS (SELECT doc_id, count(*) OVER (PARTITION BY g) AS df FROM g), "
+            "counts AS ("
+            "  SELECT doc_id, count(*) AS n_ngrams, "
+            "         sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup "
+            "  FROM wd GROUP BY doc_id) "
+            "SELECT d.doc_id, "
+            "  CAST(coalesce(n_ngrams, 0) AS BIGINT) AS n_ngrams, "
+            "  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup, "
+            "  CAST(coalesce(CASE WHEN n_ngrams > 0 THEN "
+            "    (coalesce(n_dup, 0) * 1000000) // n_ngrams ELSE 0 END, 0) AS BIGINT) "
+            "    AS dup_ppm "
+            "FROM (SELECT doc_id FROM documents) d LEFT JOIN counts USING (doc_id)"
+        ),
+        "reweight_token_budget": (
+            "WITH base AS ("
+            "  SELECT doc_id, source AS stratum, "
+            "         CAST(len(list_filter(string_split(lower(coalesce(text, '')), ' '), "
+            "                              w -> w <> '')) AS BIGINT) AS n_tokens "
+            "  FROM documents), "
+            "mass AS (SELECT stratum, sum(n_tokens) AS stratum_tokens "
+            "         FROM base GROUP BY stratum), "
+            "rates AS ("
+            "  SELECT stratum, CAST(least(1000, CASE WHEN stratum_tokens > 0 THEN "
+            "      ((10000 * CASE stratum WHEN 'src0' THEN 300 WHEN 'src1' THEN 300 "
+            "                             WHEN 'src2' THEN 200 WHEN 'src3' THEN 100 "
+            "                             WHEN 'src4' THEN 50 WHEN 'src5' THEN 50 "
+            "                             ELSE 0 END) // 1000) * 1000 // stratum_tokens "
+            "      ELSE 1000 END) AS BIGINT) AS permille "
+            "  FROM mass) "
+            "SELECT doc_id, stratum, n_tokens, "
+            "       CAST(((doc_id * 2654435761) % 4294967296) % 1000 AS BIGINT) AS bucket, "
+            "       permille "
+            "FROM base JOIN rates USING (stratum) "
+            "WHERE ((doc_id * 2654435761) % 4294967296) % 1000 < permille"
         ),
     }

@@ -56,6 +56,8 @@ HEADLINE = [
     "image_caption_dedup",
     "pii_stats",
     "pack_sequences",
+    "corpus_dup_ngrams",
+    "reweight_token_budget",
 ]
 
 

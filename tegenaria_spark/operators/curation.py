@@ -186,6 +186,121 @@ def ngram_decontaminate(
     )
 
 
+def corpus_dup_ngrams(
+    docs: DataFrame,
+    n: int = 5,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated n-gram stats — the corpus-level signal
+    behind exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): a document whose
+    n-grams mostly occur in *other* documents too is boilerplate or a
+    near-copy, even when no single pair crosses a Jaccard threshold.
+
+    Per document: ``n_ngrams`` (distinct word n-grams), ``n_dup``
+    (those occurring in ≥ *min_df* documents corpus-wide, self
+    included), ``dup_ppm`` (integer floor ppm).  Complements
+    ``textstats.repetition_stats`` (WITHIN-doc repetition) with the
+    ACROSS-doc axis.
+
+    Plan shape (100 TB): document frequency comes from ONE exchange —
+    a count window over ``partitionBy(gram)`` — instead of the naive
+    groupBy(gram) + join-back, which would shuffle the exploded gram
+    stream twice.  Per-doc distinct (array_distinct before explode)
+    caps every document's contribution to a gram at 1, so df ≤ corpus
+    size and a viral boilerplate gram's window partition is bounded by
+    the doc count, not total occurrences.  The final per-doc rollup is
+    a map-side-combined count on doc_id.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_ngrams_col(text_col, n))).alias("g"),
+    )
+    with_df = grams.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    counts = with_df.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.sum((F.col("df") >= min_df).cast("long")).alias("n_dup"),
+    )
+    # short docs (< n words) have zero grams — restore via left join
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
+            F.expr(
+                "coalesce(if(n_ngrams > 0, (coalesce(n_dup, 0) * 1000000L)"
+                " div n_ngrams, 0L), 0L)"
+            ).alias("dup_ppm"),
+        )
+    )
+
+
+def reweight_to_token_budget(
+    docs: DataFrame,
+    shares_permille: dict[str, int],
+    total_target_tokens: int,
+    strata_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "xxhash64",
+) -> DataFrame:
+    """Domain reweighting to a token budget (the DoReMi / CCNet mixing
+    step): given target corpus shares per stratum (permille of
+    *total_target_tokens*), measure each stratum's actual token mass
+    and downsample it to its target — ``keep_permille = min(1000,
+    (target_tokens * 1000) div actual_tokens)`` — with the same
+    deterministic hash-bucket filter as :func:`stratified_sample`
+    (nested/incremental: raising a share strictly grows the sample).
+    Strata over budget shrink; strata at/under budget pass through
+    whole (no upsampling — duplication is the trainer's job).
+
+    Output: kept rows as (doc_id, stratum, n_tokens, bucket,
+    permille).  Token count is the whitespace tokenizer shared with
+    ``token_counts``/``pack_sequences``.
+
+    Plan shape (100 TB): one map-side-combined agg for per-stratum
+    token mass (a few output rows), the rate table broadcast back, the
+    filter stateless per-row — the document stream is never shuffled.
+    """
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    n_tok = F.size(F.filter(F.split(t, " "), lambda w: w != "")).cast("long")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(strata_col).alias("stratum"),
+        n_tok.alias("n_tokens"),
+    )
+    spark = docs.sparkSession
+    shares = spark.createDataFrame(
+        [(k, int(v)) for k, v in shares_permille.items()],
+        "stratum string, share_permille int",
+    )
+    mass = base.groupBy("stratum").agg(F.sum("n_tokens").alias("stratum_tokens"))
+    rates = (
+        mass.join(F.broadcast(shares), "stratum", "left")
+        .select(
+            "stratum",
+            F.expr(
+                f"least(1000L, if(stratum_tokens > 0, "
+                f"(CAST({int(total_target_tokens)} AS BIGINT)"
+                f" * coalesce(share_permille, 0) div 1000) * 1000"
+                f" div stratum_tokens, 1000L))"
+            ).cast("long").alias("permille"),
+        )
+    )
+    return (
+        base.withColumn("bucket", sample_bucket("doc_id", mode).cast("long"))
+        .join(F.broadcast(rates), "stratum")
+        .filter(F.col("bucket") < F.col("permille"))
+        .select("doc_id", "stratum", "n_tokens", "bucket", "permille")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     seq_len: int,

@@ -156,3 +156,85 @@ def test_pack_sequences_shard_independence(spark):
         end = r.seq_first * 8 + r.seq_offset + r.n_tokens
         per_shard[r.shard] = per_shard.get(r.shard, 0) + r.n_tokens
         assert end == per_shard[r.shard]  # contiguous: each doc starts where the previous ended
+
+
+def test_corpus_dup_ngrams_hand_case(spark):
+    from tegenaria_spark.operators.curation import corpus_dup_ngrams
+
+    rows = [
+        (0, "a b c d"),      # grams: {a b c, b c d} — both shared with doc 1
+        (1, "a b c d e"),    # grams: {a b c, b c d, c d e} — 2 of 3 shared
+        (2, "x y z"),        # gram {x y z} unique
+        (3, "q r"),          # too short: zero grams
+        (4, None),           # NULL: zero grams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_ngrams, r.n_dup, r.dup_ppm)
+        for r in corpus_dup_ngrams(docs, n=3, min_df=2).collect()
+    }
+    assert out[0] == (2, 2, 1000000)
+    assert out[1] == (3, 2, 666666)
+    assert out[2] == (1, 0, 0)
+    assert out[3] == (0, 0, 0)
+    assert out[4] == (0, 0, 0)
+    assert set(out) == {0, 1, 2, 3, 4}
+
+
+def test_corpus_dup_ngrams_within_doc_repeat_not_dup(spark):
+    from tegenaria_spark.operators.curation import corpus_dup_ngrams
+
+    # a gram repeated INSIDE one doc counts once (per-doc distinct):
+    # df stays 1, so it is not "duplicated across the corpus"
+    docs = spark.createDataFrame(
+        [(0, "p q r p q r"), (1, "unrelated text here")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.n_dup for r in corpus_dup_ngrams(docs, n=3, min_df=2).collect()}
+    assert out[0] == 0
+
+
+def test_reweight_to_token_budget(spark):
+    from tegenaria_spark.operators.curation import reweight_to_token_budget
+
+    # stratum A: 3 docs x 4 tokens = 12; stratum B: 2 docs x 4 = 8;
+    # stratum C unlisted.  budget 20, shares A=200 B=800:
+    #   A target 4  -> permille (4*1000)//12  = 333 (shrinks)
+    #   B target 16 -> permille min(1000, 16000//8) = 1000 (kept whole)
+    #   C -> share 0 -> permille 0 (dropped)
+    rows = [(i, "A", "w x y z") for i in range(3)]
+    rows += [(10 + i, "B", "w x y z") for i in range(2)]
+    rows += [(20, "C", "w x y z")]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = reweight_to_token_budget(
+        docs, {"A": 200, "B": 800}, total_target_tokens=20, mode="multiplicative"
+    ).collect()
+    by_stratum = {}
+    for r in out:
+        by_stratum.setdefault(r.stratum, []).append(r)
+        assert r.bucket < r.permille
+        assert r.n_tokens == 4
+    assert "C" not in by_stratum                      # unlisted stratum dropped
+    assert all(r.permille == 333 for r in by_stratum.get("A", []))
+    assert len(by_stratum["B"]) == 2                  # under budget: kept whole
+    assert all(r.permille == 1000 for r in by_stratum["B"])
+
+
+def test_reweight_nested_samples(spark):
+    from tegenaria_spark.operators.curation import reweight_to_token_budget
+
+    # raising the budget strictly grows the kept set (same hash buckets)
+    rows = [(i, "A", " ".join(["t"] * 5)) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    small = {
+        r.doc_id
+        for r in reweight_to_token_budget(
+            docs, {"A": 1000}, total_target_tokens=200, mode="multiplicative"
+        ).collect()
+    }
+    big = {
+        r.doc_id
+        for r in reweight_to_token_budget(
+            docs, {"A": 1000}, total_target_tokens=500, mode="multiplicative"
+        ).collect()
+    }
+    assert small and small < big
