@@ -617,6 +617,32 @@ def _reweight_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucketed_quality_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus⋈corpus on doc_id over a BUCKETED layout: the merge-hinted
+    # self-join plans with ZERO Exchange and zero Sort (PLANS.md row) —
+    # the repeated-join layout contract described in sources/bucketing.py
+    from tegenaria_spark.sources.bucketing import read_table, write_bucketed
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    tbl = f"bq_docs_{tag}"
+    if not spark.catalog.tableExists(tbl):
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+        write_bucketed(
+            _t(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+            tbl,
+            "doc_id",
+            8,
+            path=f"{base}/tegenaria_bucketed/{tag}",
+        )
+    docs = read_table(spark, tbl)
+    n_words = F.size(
+        F.filter(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "), lambda w: w != "")
+    ).cast("long")
+    a = docs.select("doc_id", "lang")
+    b = docs.select("doc_id", n_words.alias("n_words")).filter(F.col("n_words") >= 10)
+    return a.join(b.hint("merge"), "doc_id").select("doc_id", "lang", "n_words")
+
+
 def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tegenaria_spark.operators.curation import pack_sequences
 
@@ -693,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_stats": _pii_stats,
         "corpus_dup_ngrams": _corpus_dup_ngrams,
         "reweight_token_budget": _reweight_token_budget,
+        "bucketed_quality_join": _bucketed_quality_join,
     }
 
 
@@ -1112,5 +1139,14 @@ def oracle_sql() -> dict[str, str]:
             "       permille "
             "FROM base JOIN rates USING (stratum) "
             "WHERE ((doc_id * 2654435761) % 4294967296) % 1000 < permille"
+        ),
+        "bucketed_quality_join": (
+            # doc_id is unique, so the bucketed self-join collapses to a
+            # single-scan equivalent in ANSI SQL
+            "SELECT doc_id, lang, n_words FROM ("
+            "  SELECT doc_id, lang, "
+            "         CAST(len(list_filter(string_split(lower(coalesce(text, '')), ' '), "
+            "                              w -> w <> '')) AS BIGINT) AS n_words "
+            "  FROM documents) WHERE n_words >= 10"
         ),
     }
