@@ -86,3 +86,52 @@ def test_m5_retry_reenqueue(spark, failed_df):
     for r in out.values():
         assert r.do_not_filter is True  # skips the dedup gate next round
         assert r.fp is not None and r.canon_url  # no recanonicalization
+
+
+def test_m9_redirect_cap_and_disable(spark):
+    # downloader.go:136-146 CheckRedirect: cap exceeded → MaxRedirectError
+    # (exceptions.go:61-63); allow_redirects=False → ErrUseLastResponse
+    # (the 301 IS the response).  redirect_ratio=1.0 makes p0→p1→…→p8 a
+    # deterministic 9-hop chain (p9, unable to redirect, is an error page).
+    from tegenaria_spark.operators.fetch import simulate_fetch_one
+    from tegenaria_spark.sources.synth import SiteConfig
+
+    site = SiteConfig(n_domains=1, pages_per_domain=10, redirect_ratio=1.0, error_ratio=0.0)
+    url = site.page_url(0, 0)
+
+    capped = simulate_fetch_one(url, site, max_redirects=3)
+    assert capped["status"] == 301
+    assert capped["error"] == "max redirects exceeded"
+
+    followed = simulate_fetch_one(url, site, max_redirects=20)
+    assert "/p/9" in followed["final_url"]  # chain walked to the end
+    assert followed["status"] in (403, 404, 500)
+
+    no_follow = simulate_fetch_one(url, site, max_redirects=20, allow_redirects=False)
+    assert no_follow["status"] == 301 and no_follow["error"] is None
+    assert "/p/0" in no_follow["final_url"]  # the 301 came back as-is
+
+
+def test_m8_proxy_column_honored_in_fetch_stage(spark):
+    # M8 (request.go proxy option): the per-request proxy_url column
+    # must reach the fetch UDF — observable as the deterministic proxy
+    # hop added to the request's delay; cookies ride without altering
+    # content (stateless synthetic web).
+    from tegenaria_spark.operators.fetch import fetch_stage
+    from tegenaria_spark.sources.synth import SiteConfig
+
+    site = SiteConfig(n_domains=1, pages_per_domain=4, redirect_ratio=0.0, error_ratio=0.0)
+    url = site.page_url(0, 1)
+    sel = spark.createDataFrame(
+        [(url, None, None), (url, "http://proxy.local:8080", {"sid": "abc"})],
+        "url string, proxy_url string, cookies map<string,string>",
+    )
+    cfg = EngineConfig(shuffle_partitions=2)
+    rows = fetch_stage(sel, site, cfg).collect()
+    plain = next(r for r in rows if r.proxy_url is None)
+    proxied = next(r for r in rows if r.proxy_url is not None)
+    assert abs(proxied.delay - plain.delay - 0.0005) < 1e-12
+    # cookies carried, content identical
+    assert proxied.status == plain.status == 200
+    assert proxied.content_length == plain.content_length
+    assert proxied.caption == plain.caption
