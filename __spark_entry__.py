@@ -45,7 +45,7 @@ _FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixture
 
 # bump when twin semantics change (forces fixture regeneration even at
 # an already-stamped sf_dir)
-_FIXTURE_VERSION = 3
+_FIXTURE_VERSION = 4
 
 
 def _fixture_path(key: str) -> str:
@@ -625,15 +625,35 @@ def _bucketed_quality_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     tbl = f"bq_docs_{tag}"
-    if not spark.catalog.tableExists(tbl):
-        base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    # cache key = source file identity, not just the path: if the
+    # dataset at sf_dir is regenerated mid-session the stale bucketed
+    # copy would silently diverge from the oracle (r3 ADVICE).  The
+    # stamp lives next to the table files so a fresh session revalidates
+    # a cache left by an earlier one.
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    fingerprint = f"{st.st_mtime_ns}:{st.st_size}"
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    tbl_path = f"{base}/tegenaria_bucketed/{tag}"
+    stamp = f"{base}/tegenaria_bucketed/{tag}.src.stamp"
+    try:
+        with open(stamp) as fh:
+            stale = fh.read() != fingerprint
+    except OSError:
+        stale = True
+    if stale or not spark.catalog.tableExists(tbl):
+        if spark.catalog.tableExists(tbl):
+            spark.sql(f"DROP TABLE {tbl}")
         write_bucketed(
             _t(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
             tbl,
             "doc_id",
             8,
-            path=f"{base}/tegenaria_bucketed/{tag}",
+            path=tbl_path,
         )
+        os.makedirs(os.path.dirname(stamp), exist_ok=True)
+        with open(stamp, "w") as fh:
+            fh.write(fingerprint)
     docs = read_table(spark, tbl)
     n_words = F.size(
         F.filter(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "), lambda w: w != "")

@@ -42,6 +42,34 @@ def cosine_col(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def hash_sample_vectors(
+    vectors: DataFrame, id_col: str, vec_col: str, sample_size: int
+) -> list:
+    """Deterministic ~*sample_size*-row sample for centroid fitting,
+    WITHOUT a corpus-wide sort: keep rows whose ``pmod(xxhash64(id), B)``
+    is 0 with B = n // sample_size (a stateless hash-bucket filter — one
+    column-pruned scan, no TakeOrdered; the old ``orderBy(id).limit(n)``
+    was a full scan-sort at 100 TB).  The survivors (≈ sample_size rows,
+    < 2× worst case) are collected, sorted by id on the driver, and
+    capped at *sample_size* — fully deterministic, and re-derivable by
+    the pure-Python oracle twin via the same XXH64 + pmod rule
+    (functions/xxh64.py matches ``F.xxhash64`` bit-for-bit).
+
+    Returns the collected Rows (id, vec) sorted by id, length ≤
+    sample_size."""
+    n = vectors.count()
+    if n == 0:
+        return []
+    b = max(1, n // sample_size)
+    rows = (
+        vectors.select(id_col, vec_col)
+        .filter(F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(b)) == 0)
+        .collect()
+    )
+    rows.sort(key=lambda r: r[0])
+    return rows[:sample_size]
+
+
 def cosine_topk_bruteforce(
     vectors: DataFrame,
     queries: DataFrame,
@@ -236,10 +264,10 @@ def cosine_topk_ivf(
     because the scoring is a map-side operation on the corpus
     partitioning — no per-cell shuffle exists to collapse."""
     spark = vectors.sparkSession
-    sample_rows = vectors.select(vec_col).orderBy(id_col).limit(sample_size).collect()
+    sample_rows = hash_sample_vectors(vectors, id_col, vec_col, sample_size)
     if not sample_rows:
         return spark.createDataFrame([], "query_id long, neighbor_id long, rank int")
-    smat = np.array([list(r[0]) for r in sample_rows], dtype=np.float64)
+    smat = np.array([list(r[1]) for r in sample_rows], dtype=np.float64)
     kc = max(1, min(n_clusters, len(smat)))
     cent_int = ivf_fit_centroids_int(smat, kc)
 
@@ -387,11 +415,9 @@ def embedding_neardup_pairs(
         return spark.createDataFrame([], f"vec_a long, vec_b long, cosine double")
     k = max(1, min(n_clusters, int(np.sqrt(n)) + 1, n))
 
-    sample_rows = (
-        vectors.select(vec_col).orderBy(id_col).limit(sample_size).collect()
-    )
+    sample_rows = hash_sample_vectors(vectors, id_col, vec_col, sample_size)
     smat = _normalize_rows(
-        np.array([list(r[0]) for r in sample_rows], dtype=np.float64)
+        np.array([list(r[1]) for r in sample_rows], dtype=np.float64)
     )
     cent = _fit_centroids(smat, k)
 

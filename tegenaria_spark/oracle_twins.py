@@ -217,6 +217,63 @@ def expected_ann_lsh(
     )
 
 
+def _twin_normalize_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    return np.divide(mat, norms, out=np.zeros_like(mat), where=norms > 0)
+
+
+def _twin_ivf_centroids_int(
+    sample: np.ndarray, k: int, cent_bits: int = 10, seed: int = 7, iters: int = 8
+) -> np.ndarray:
+    """Independent re-derivation of the IVF centroid spec (does NOT
+    import the operator's helpers, so a bug introduced on either side
+    fails the oracle gate instead of propagating to both): spherical
+    k-means on the L2-normalized sample — RandomState(seed) sorted
+    choice of k initial rows, *iters* Lloyd steps with argmax-cosine
+    assignment and normalized-mean updates — quantized to
+    rint(centroid * 2^cent_bits) integers held in float64."""
+    mat = _twin_normalize_rows(np.asarray(sample, dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    k = min(k, len(mat))
+    cent = mat[np.sort(rng.choice(len(mat), size=k, replace=False))].copy()
+    for _ in range(iters):
+        owner = np.argmax(mat @ cent.T, axis=1)
+        for j in range(k):
+            members = mat[owner == j]
+            if len(members):
+                s = members.sum(axis=0)
+                norm = np.linalg.norm(s)
+                if norm > 0:
+                    cent[j] = s / norm
+    return np.rint(cent * float(1 << cent_bits))
+
+
+def _twin_ivf_project(mat: np.ndarray, cent_int: np.ndarray) -> np.ndarray:
+    """Exact integer projections: rows quantize to rint(unit-row * 2^20)
+    (exact in float64 — every partial < 2^53), centroids are already
+    integers."""
+    return np.rint(_twin_normalize_rows(mat) * float(1 << 20)) @ cent_int.T
+
+
+def _twin_hash_sample_idx(ids: np.ndarray, sample_size: int) -> np.ndarray:
+    """Twin of similarity.hash_sample_vectors: keep ids where
+    pmod(xxhash64(id), n // sample_size) == 0, sort by id, cap.  Python
+    ``%`` with a positive modulus equals Spark's pmod; xxh64 of the
+    8-byte little-endian encoding equals ``F.xxhash64(longCol)``
+    (locked by test_canonical)."""
+    import struct
+
+    from tegenaria_spark.functions.xxh64 import xxh64
+
+    b = max(1, len(ids) // sample_size)
+    keep = np.array(
+        [i for i, v in enumerate(ids) if xxh64(struct.pack("<q", int(v))) % b == 0],
+        dtype=np.int64,
+    )
+    keep = keep[np.argsort(ids[keep], kind="stable")]
+    return keep[:sample_size]
+
+
 def expected_ann_ivf(
     emb: pd.DataFrame,
     dim: int = 64,
@@ -227,25 +284,23 @@ def expected_ann_ivf(
     n_queries: int = 10,
 ) -> pd.DataFrame:
     """Twin of similarity.cosine_topk_ivf for the driver-contract query
-    (queries = vec_id < n_queries).  Shares the centroid/assignment
-    helpers with the operator — cell decisions are exact integer
-    arithmetic (ivf_fit_centroids_int docstring), so the candidate sets
-    are bit-identical by construction; ranking is the locked
+    (queries = vec_id < n_queries).  Every stage — hash-bucket centroid
+    sample, integer centroid fit, integer cell assignment/probes — is
+    re-derived here with twin code that does NOT import the operator's
+    helpers (r3 ADVICE: a shared helper bug would otherwise pass the
+    gate unseen); both sides follow the same exact-integer spec, so the
+    candidate sets must agree bit-for-bit.  Ranking is the locked
     fold-cosine with neighbor-id tie-break."""
-    from tegenaria_spark.operators.similarity import (
-        ivf_assign,
-        ivf_fit_centroids_int,
-        ivf_probes,
-    )
-
     pdf = emb.sort_values("vec_id")
     ids = pdf["vec_id"].to_numpy()
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-    kc = max(1, min(n_clusters, min(sample_size, len(mat))))
-    cent_int = ivf_fit_centroids_int(mat[:sample_size], kc)
-    assign = ivf_assign(mat, cent_int)
+    sidx = _twin_hash_sample_idx(ids, sample_size)
+    kc = max(1, min(n_clusters, len(sidx)))
+    cent_int = _twin_ivf_centroids_int(mat[sidx], kc)
+    assign = np.argmax(_twin_ivf_project(mat, cent_int), axis=1)
     qidx = np.nonzero(ids < n_queries)[0]
-    probes = ivf_probes(mat[qidx], cent_int, min(nprobe, kc))
+    qproj = _twin_ivf_project(mat[qidx], cent_int)
+    probes = np.argsort(-qproj, axis=1, kind="stable")[:, : min(nprobe, kc)]
 
     rows = []
     for qrow, qi in enumerate(qidx):

@@ -61,11 +61,17 @@ def read_table(spark: SparkSession, name: str) -> DataFrame:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of shuffle Exchange operators in the executed plan —
-    the assertion co-location tests care about (0 = no shuffle)."""
+    """Number of *shuffle* Exchange operators in the executed plan —
+    the assertion co-location tests care about (0 = no shuffle).
+    Broadcast exchanges don't count: a BroadcastExchange ships the
+    small side to every executor, it does not repartition the corpus
+    (r3 ADVICE: the old ``'Exchange' in line`` match falsely counted
+    broadcast-join plans as shuffling)."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return sum(
         1
         for line in plan.splitlines()
-        if "Exchange" in line and "ReusedExchange" not in line
+        if "Exchange" in line
+        and "ReusedExchange" not in line
+        and "BroadcastExchange" not in line
     )

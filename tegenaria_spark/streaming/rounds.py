@@ -202,4 +202,12 @@ def stream_windowed_counts_watermarked(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    # awaitTermination(timeout) returns False on timeout with the query
+    # STILL RUNNING — returning then would let a second drain against
+    # the same checkpoint race this one (r3 ADVICE).  Stop and raise.
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "stream_windowed_counts_watermarked: availableNow drain did not "
+            "complete within 600 s"
+        )

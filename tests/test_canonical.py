@@ -31,6 +31,27 @@ def test_xxh64_matches_spark(spark):
         assert got[s] == xxh64_str(s)
 
 
+def test_xxh64_long_matches_spark(spark):
+    """``F.xxhash64(longCol)`` == XXH64 of the 8-byte little-endian
+    encoding — the contract the hash-bucket centroid sampler
+    (similarity.hash_sample_vectors) and its twin
+    (oracle_twins._twin_hash_sample_idx) both stand on."""
+    import struct
+
+    from tegenaria_spark.functions.xxh64 import xxh64
+
+    rng = random.Random(13)
+    vals = [0, 1, -1, 42, 2**62, -(2**62), 123456789012345] + [
+        rng.randint(-(2**63), 2**63 - 1) for _ in range(50)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r["v"]: r["h"] for r in df.select("v", F.xxhash64("v").alias("h")).collect()}
+    for v in vals:
+        assert got[v] == xxh64(struct.pack("<q", v))
+        # pmod twin: Python % with a positive modulus equals Spark pmod
+        assert got[v] % 7 == xxh64(struct.pack("<q", v)) % 7
+
+
 def test_canonicalize_sorts_query_and_drops_fragment():
     a, da, va = py_canonicalize("https://example.com/a?b=2&a=1#frag")
     b, db, vb = py_canonicalize("https://example.com/a?a=1&b=2")
