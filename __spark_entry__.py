@@ -694,6 +694,138 @@ def _image_caption_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return caption_dedup(feats, max_hamming=8)
 
 
+def _render_html_testset(spark: SparkSession):
+    """(canon_url, body_html) rows for the fixed markup testset —
+    rendered executor-side (mapInPandas), one deterministic page per
+    URL (sources/synth.py page_html)."""
+    import pandas as pd
+
+    from tegenaria_spark.sources.synth import SiteConfig, html_testset_urls
+
+    site = SiteConfig()
+    urls = html_testset_urls(site)
+
+    def render(it):
+        from tegenaria_spark.functions.canonical import py_canonicalize
+        from tegenaria_spark.sources.synth import page_html
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "url": [py_canonicalize(u)[0] for u in pdf["u"]],
+                    "body_html": [page_html(u, site) for u in pdf["u"]],
+                }
+            )
+
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    return df.repartition(8).mapInPandas(render, "url string, body_html string")
+
+
+def _html_extract_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # real-markup item extraction (M4 over HTML, quotes-spider parity:
+    # goquery `.quote`/`span.text`/`small.author`, spider.go:48-66):
+    # render -> html.parser DOM -> selector extraction; the twin derives
+    # the same rows from the generative quote model without parsing
+    from tegenaria_spark.functions.html import html_select_udf
+    from tegenaria_spark.oracle_twins import expected_html_quotes
+
+    _ensure_fixture("html_extract_quotes", sf_dir, lambda: expected_html_quotes())
+    pages = _render_html_testset(spark)
+    texts = html_select_udf("div.quote span.text")
+    authors = html_select_udf("div.quote small.author")
+    quoted = pages.select(
+        "url",
+        F.arrays_zip(
+            texts(F.col("body_html")).alias("text"),
+            authors(F.col("body_html")).alias("author"),
+        ).alias("qs"),
+    )
+    return quoted.select("url", F.posexplode("qs").alias("pos", "q")).select(
+        "url", "pos", F.col("q.text").alias("text"), F.col("q.author").alias("author")
+    )
+
+
+def _html_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # real-markup outlink extraction + urljoin resolution (spider.go
+    # 74-88 `li.next a[href]` next-page semantics); must recover the
+    # structured outlinks bit-for-bit from relative hrefs
+    from tegenaria_spark.functions.html import html_links_udf
+    from tegenaria_spark.oracle_twins import expected_html_links
+
+    _ensure_fixture("html_extract_links", sf_dir, lambda: expected_html_links())
+    pages = _render_html_testset(spark)
+    links = html_links_udf("ul.pager li.next a", "href")
+    return pages.select(
+        "url",
+        F.posexplode(links(F.col("url"), F.col("body_html"))).alias("pos", "href"),
+    )
+
+
+def _crawl_resume_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q6/Q7 as a driver-contract row: run 2 rounds, "kill" (drop the
+    # engine), resume from the committed snapshot with a FRESH engine,
+    # drain — the final fetch log + url_seen set must equal the
+    # simulator run straight through (twin).  Certifies that the
+    # snapshot marker is a complete checkpoint and that the resumed
+    # engine recomputes the interrupted round bit-identically.
+    import shutil
+    import tempfile
+
+    from tegenaria_spark.config import EngineConfig
+    from tegenaria_spark.oracle_twins import expected_crawl_resume
+    from tegenaria_spark.plans.engine import CrawlEngine
+    from tegenaria_spark.sources.store import LocalSnapshotStore
+    from tegenaria_spark.sources.synth import (
+        SiteConfig,
+        domain_budgets,
+        robots_rules,
+        seed_urls,
+    )
+
+    _ensure_fixture("crawl_resume_parity", sf_dir, lambda: expected_crawl_resume())
+    site = SiteConfig(n_domains=3, pages_per_domain=8)
+    cfg = EngineConfig(shuffle_partitions=4, bloom_enabled=False)
+    seeds = seed_urls(site, n_seeds=10)
+    robots = robots_rules(site)
+    budgets = domain_budgets(site, default_budget=4)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="resume-parity-", dir=base)
+    try:
+        store = LocalSnapshotStore(workdir, spark, fp_buckets=cfg.fp_buckets)
+        engine = CrawlEngine(
+            spark, store, site, cfg, robots_rows=robots, budget_rows=budgets
+        )
+        engine.run(seeds, max_rounds=2)  # interrupted here
+        store2 = LocalSnapshotStore(workdir, spark, fp_buckets=cfg.fp_buckets)
+        engine2 = CrawlEngine(
+            spark, store2, site, cfg, robots_rows=robots, budget_rows=budgets
+        )
+        # 3 more rounds (5 total, aligned with the twin's cap): the
+        # parity prefix certifies resume; draining adds rounds whose
+        # per-round Spark-stage constants dominate the gate's wall
+        engine2.run(resume=True, max_rounds=3)
+        log = store2.read_log("fetch_log").select(
+            F.lit("log").alias("kind"),
+            F.col("round").cast("int").alias("round"),
+            F.col("seq").cast("long").alias("seq"),
+            F.col("url"),
+            F.col("outcome"),
+            F.lit(0).cast("long").alias("fp"),
+        )
+        seen = store2.read_url_seen(store2.last_committed_round()).select(
+            F.lit("seen").alias("kind"),
+            F.lit(-1).cast("int").alias("round"),
+            F.lit(-1).cast("long").alias("seq"),
+            F.lit("").alias("url"),
+            F.lit("").alias("outcome"),
+            F.col("fp").cast("long").alias("fp"),
+        )
+        # pin before the workdir vanishes (the driver collects later)
+        return log.unionByName(seen).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "f1_dedup_anti_join": _f1_dedup_anti_join,
@@ -740,6 +872,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dup_ngrams": _corpus_dup_ngrams,
         "reweight_token_budget": _reweight_token_budget,
         "bucketed_quality_join": _bucketed_quality_join,
+        "html_extract_quotes": _html_extract_quotes,
+        "html_extract_links": _html_extract_links,
+        "crawl_resume_parity": _crawl_resume_parity,
     }
 
 
@@ -1004,6 +1139,18 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk_ivf": (
             "SELECT query_id, neighbor_id, rank "
             f"FROM read_parquet('{_fixture_path('ann_cosine_topk_ivf')}')"
+        ),
+        "html_extract_quotes": (
+            "SELECT url, pos, text, author "
+            f"FROM read_parquet('{_fixture_path('html_extract_quotes')}')"
+        ),
+        "html_extract_links": (
+            "SELECT url, pos, href "
+            f"FROM read_parquet('{_fixture_path('html_extract_links')}')"
+        ),
+        "crawl_resume_parity": (
+            "SELECT kind, round, seq, url, outcome, fp "
+            f"FROM read_parquet('{_fixture_path('crawl_resume_parity')}')"
         ),
         "crawl_fingerprints": (
             "SELECT ctx_id, canon_url, domain, fp "

@@ -80,6 +80,14 @@ class EngineConfig:
         "fetched", "failed", "robots_blocked", "deferred", "dup_dropped", "invalid",
     )
 
+    # --- markup: when True the fetch stage also returns the page's HTML
+    # (``body_html`` column) so registered parsers can extract items and
+    # outlinks from real markup (functions/html.py) instead of the
+    # structured columns — the path a user porting a goquery spider
+    # takes.  Off by default: the flagship image pipeline doesn't pay
+    # for markup it never reads.
+    render_html: bool = False
+
     extra_spark_conf: dict = field(default_factory=dict)
 
     @property

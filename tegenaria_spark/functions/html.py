@@ -1,0 +1,212 @@
+"""Selector-lite HTML extraction for registered parsers.
+
+The reference's quotes example parses real markup with goquery CSS
+selectors (/root/reference/example/quotes/spider.go:48-90 — ``.quote``
+items, ``span.text`` / ``small.author`` fields, ``li.next a`` next-link
+resolved against the page URL).  This module is the Spark-side
+equivalent a porting user reaches for: a stdlib-``html.parser`` DOM
+with a small CSS-selector subset (``tag``, ``.class``, ``#id``,
+``tag.class`` and the descendant combinator ``A B``), exposed two ways:
+
+- pure-Python (``py_select_strings`` / ``py_extract_links``) for
+  driver-side use and oracle twins;
+- Arrow-batched pandas UDFs (``html_select_udf`` / ``html_links_udf``)
+  for DataFrame pipelines — HTML parsing is genuinely inexpressible in
+  Catalyst, so this is the sanctioned Python path: one vectorized UDF,
+  never a row-at-a-time Python UDF.
+
+At 100 TB the extraction is embarrassingly parallel (each page parses
+independently inside its Arrow batch); no state, no shuffle — the cost
+model is pure per-row CPU, exactly like the reference's goquery loop
+but distributed.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import Iterable, Optional
+from urllib.parse import urljoin
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta source track wbr".split()
+)
+
+
+class Node:
+    """One element: tag, attrs, ordered children (Node | str text)."""
+
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs: Optional[dict] = None):
+        self.tag = tag
+        self.attrs = attrs or {}
+        self.children: list = []
+
+    # -- matching helpers ------------------------------------------------
+
+    def classes(self) -> set[str]:
+        return set((self.attrs.get("class") or "").split())
+
+    def text(self) -> str:
+        """Concatenated descendant text (document order), stripped —
+        goquery ``Selection.Text()`` semantics."""
+        parts: list[str] = []
+
+        def walk(n: "Node") -> None:
+            for c in n.children:
+                if isinstance(c, str):
+                    parts.append(c)
+                else:
+                    walk(c)
+
+        walk(self)
+        return "".join(parts).strip()
+
+    def iter_elements(self) -> Iterable["Node"]:
+        """All descendant elements, document order, self excluded."""
+        for c in self.children:
+            if isinstance(c, Node):
+                yield c
+                yield from c.iter_elements()
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Node("__root__")
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = Node(tag, dict(attrs))
+        self.stack[-1].children.append(node)
+        if tag not in _VOID_TAGS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self.stack[-1].children.append(Node(tag, dict(attrs)))
+
+    def handle_endtag(self, tag):
+        # close the innermost open element of this tag (tolerates the
+        # mildly malformed nesting real crawls encounter)
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def parse_html(html: Optional[str]) -> Node:
+    """Parse markup into a Node tree (root is a synthetic container).
+    None/empty input yields an empty root — extraction then returns []
+    instead of raising (crawl pipelines meet empty bodies constantly)."""
+    builder = _TreeBuilder()
+    if html:
+        builder.feed(html)
+    return builder.root
+
+
+def _match_simple(node: Node, simple: str) -> bool:
+    """``tag``, ``.class``, ``#id``, ``tag.class``, ``tag#id`` (multiple
+    ``.class`` terms AND together, goquery/CSS semantics)."""
+    tag = ""
+    i = 0
+    while i < len(simple) and simple[i] not in ".#":
+        i += 1
+    tag = simple[:i]
+    if tag and node.tag != tag:
+        return False
+    rest = simple[i:]
+    while rest:
+        kind = rest[0]
+        j = 1
+        while j < len(rest) and rest[j] not in ".#":
+            j += 1
+        name, rest = rest[1:j], rest[j:]
+        if kind == "." and name not in node.classes():
+            return False
+        if kind == "#" and node.attrs.get("id") != name:
+            return False
+    return True
+
+
+def select(root: Node, selector: str) -> list[Node]:
+    """Document-order elements matching a whitespace-separated
+    descendant chain of simple selectors (``div.quote span.text``)."""
+    parts = selector.split()
+    if not parts:
+        return []
+    matched = [root]
+    for k, part in enumerate(parts):
+        next_matched: list[Node] = []
+        seen: set[int] = set()
+        for m in matched:
+            for el in m.iter_elements():
+                if id(el) not in seen and _match_simple(el, part):
+                    seen.add(id(el))
+                    next_matched.append(el)
+        matched = next_matched
+        if not matched:
+            return []
+    # de-dup to document order (two matched ancestors can share a
+    # descendant); ids were de-duped per ancestor, do a global pass
+    if len(parts) > 1:
+        out: list[Node] = []
+        seen2: set[int] = set()
+        for el in root.iter_elements():
+            if id(el) in {id(x) for x in matched} and id(el) not in seen2:
+                seen2.add(id(el))
+                out.append(el)
+        return out
+    return matched
+
+
+def py_select_strings(
+    html: Optional[str], selector: str, attr: Optional[str] = None
+) -> list[str]:
+    """Matched elements' text (or *attr* value) in document order —
+    elements missing *attr* are skipped, like goquery ``Attr`` loops."""
+    nodes = select(parse_html(html), selector)
+    if attr is None:
+        return [n.text() for n in nodes]
+    return [n.attrs[attr] for n in nodes if attr in n.attrs]
+
+
+def py_extract_links(
+    base_url: Optional[str],
+    html: Optional[str],
+    selector: str = "a",
+    attr: str = "href",
+) -> list[str]:
+    """Hrefs under *selector*, resolved absolute against *base_url*
+    (the quotes spider's ``li.next a[href]`` + urljoin next-page step,
+    example/quotes/spider.go:74-88)."""
+    return [urljoin(base_url or "", h) for h in py_select_strings(html, selector, attr)]
+
+
+def html_select_udf(selector: str, attr: Optional[str] = None):
+    """Vectorized column: markup → array<string> of texts/attr values."""
+
+    @pandas_udf(ArrayType(StringType()))
+    def _sel(htmls: pd.Series) -> pd.Series:
+        return pd.Series([py_select_strings(h, selector, attr) for h in htmls])
+
+    return _sel
+
+
+def html_links_udf(selector: str = "a", attr: str = "href"):
+    """Vectorized (base_url, markup) → array<string> of absolute URLs."""
+
+    @pandas_udf(ArrayType(StringType()))
+    def _links(bases: pd.Series, htmls: pd.Series) -> pd.Series:
+        return pd.Series(
+            [py_extract_links(b, h, selector, attr) for b, h in zip(bases, htmls)]
+        )
+
+    return _links

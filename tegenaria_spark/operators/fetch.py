@@ -133,10 +133,15 @@ def simulate_fetch_one(
 
 
 def fetch_stage(selected: DataFrame, site: SiteConfig, cfg: EngineConfig) -> DataFrame:
-    """Run the fetch UDF; returns input columns + FETCH_RESULT_COLS."""
+    """Run the fetch UDF; returns input columns + FETCH_RESULT_COLS
+    (+ ``body_html`` when ``cfg.render_html`` — the markup a goquery-
+    style parser consumes, see functions/html.py)."""
     in_schema = selected.schema
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema.fields)
     full_schema = out_schema + ", " + FETCH_RESULT_COLS
+    render_html = cfg.render_html
+    if render_html:
+        full_schema += ", body_html STRING"
     max_redirects = cfg.max_redirects
 
     def _as_dict(m):
@@ -181,6 +186,27 @@ def fetch_stage(selected: DataFrame, site: SiteConfig, cfg: EngineConfig) -> Dat
             res["img_phash"] = pd.array(
                 [r["img_phash"] for r in results], dtype="Int64"
             )
+            if render_html:
+                from tegenaria_spark.sources.synth import page_html
+
+                # markup for clean fetches only (parsers consume ok
+                # rows); rendered off the FINAL url so redirect chains
+                # parse the page they landed on
+                res["body_html"] = [
+                    page_html(
+                        r["final_url"],
+                        site,
+                        method=me if isinstance(me, str) and me else "GET",
+                        body=bytes(bo)
+                        if bo is not None and not (isinstance(bo, float) and pd.isna(bo))
+                        else None,
+                    )
+                    if r["error"] is None
+                    else None
+                    for r, me, bo in zip(
+                        results, _opt(pdf, "method", "GET"), _opt(pdf, "body")
+                    )
+                ]
             for col in res.columns:
                 pdf[col] = res[col].values
             yield pdf

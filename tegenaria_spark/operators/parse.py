@@ -70,6 +70,50 @@ def image_parser(ok: DataFrame) -> tuple[DataFrame, DataFrame]:
     return items, links
 
 
+def build_quote_html_parser(name: str = "quote_html_parser") -> str:
+    """Register (idempotently) a parser that extracts BOTH items and
+    outlinks from real markup — the ported quotes spider
+    (example/quotes/spider.go:48-90): ``div.quote`` items with
+    ``span.text`` / ``small.author`` fields, next links from
+    ``ul.pager li.next a`` hrefs resolved absolute against the page URL.
+    Requires ``EngineConfig(render_html=True)`` so fetched rows carry
+    ``body_html``.  Registration is opt-in (a module-level second parser
+    would push every engine onto the multi-parser dispatch path)."""
+    if name in PARSER_REGISTRY:
+        return name
+
+    from tegenaria_spark.functions.html import html_links_udf, html_select_udf
+
+    texts_udf = html_select_udf("div.quote span.text")
+    authors_udf = html_select_udf("div.quote small.author")
+    links_udf = html_links_udf("ul.pager li.next a", "href")
+
+    @register_parser(name)
+    def quote_html_parser(ok: DataFrame) -> tuple[DataFrame, DataFrame]:
+        ok200 = ok.filter((F.col("status") == 200) & F.col("body_html").isNotNull())
+        quoted = ok200.select(
+            F.col("canon_url").alias("url"),
+            F.arrays_zip(
+                texts_udf(F.col("body_html")).alias("text"),
+                authors_udf(F.col("body_html")).alias("author"),
+            ).alias("qs"),
+        )
+        items = quoted.select(
+            "url", F.posexplode(F.col("qs")).alias("pos", "q")
+        ).select("url", "pos", F.col("q.text").alias("text"), F.col("q.author").alias("author"))
+        links = ok200.select(
+            F.col("enqueue_seq").alias("parent_seq"),
+            F.col("priority").alias("parent_priority"),
+            F.col("parser").alias("parent_parser"),
+            F.posexplode(links_udf(F.col("canon_url"), F.col("body_html"))).alias(
+                "pos", "url"
+            ),
+        )
+        return items, links
+
+    return name
+
+
 def run_parsers(ok: DataFrame) -> tuple[DataFrame, DataFrame]:
     """M3: route fetched rows to their parser by the ``parser`` column.
 

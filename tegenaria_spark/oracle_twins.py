@@ -527,3 +527,99 @@ def expected_caption_dedup(
     return pd.DataFrame(
         out, columns=["image_id", "component", "kept_image_id", "cluster_size", "is_kept"]
     ).astype({"cluster_size": "int64", "is_kept": "int32"})
+
+
+# ---------------------------------------------------------------------------
+# markup-extraction twins (html_extract_* contract queries)
+# ---------------------------------------------------------------------------
+
+
+def expected_html_quotes(cfg=None) -> pd.DataFrame:
+    """Twin of the html_extract_quotes query: (url, pos, text, author)
+    straight from the GENERATIVE quote model (sources.synth.page_quotes)
+    — never parses markup, so the Spark side's render→parse→select
+    round-trip is verified against an independent derivation."""
+    from tegenaria_spark.functions.canonical import py_canonicalize
+    from tegenaria_spark.sources.synth import (
+        SiteConfig,
+        html_testset_urls,
+        page_quotes,
+        synth_page,
+    )
+
+    cfg = cfg or SiteConfig()
+    rows = []
+    for url in html_testset_urls(cfg):
+        canon, _, valid = py_canonicalize(url)
+        if not valid or synth_page(url, cfg).status != 200:
+            continue
+        for pos, (text, author, _tag) in enumerate(page_quotes(canon, cfg)):
+            rows.append((canon, pos, text, author))
+    return pd.DataFrame(rows, columns=["url", "pos", "text", "author"]).astype(
+        {"pos": "int32"}
+    )
+
+
+def expected_html_links(cfg=None) -> pd.DataFrame:
+    """Twin of the html_extract_links query: (url, pos, href) from the
+    structured ``synth_page().outlinks`` — the Spark side must recover
+    EXACTLY these absolute URLs by parsing the pager markup and
+    urljoin-resolving relative hrefs (spider.go:74-88 semantics)."""
+    from tegenaria_spark.functions.canonical import py_canonicalize
+    from tegenaria_spark.sources.synth import SiteConfig, html_testset_urls, synth_page
+
+    cfg = cfg or SiteConfig()
+    rows = []
+    for url in html_testset_urls(cfg):
+        canon, _, valid = py_canonicalize(url)
+        if not valid:
+            continue
+        page = synth_page(url, cfg)
+        if page.status != 200:
+            continue
+        for pos, link in enumerate(page.outlinks):
+            rows.append((canon, pos, link))
+    return pd.DataFrame(rows, columns=["url", "pos", "href"]).astype({"pos": "int32"})
+
+
+# ---------------------------------------------------------------------------
+# resume-parity twin (Q6/Q7 driver-contract certification)
+# ---------------------------------------------------------------------------
+
+
+def expected_crawl_resume(n_seeds: int = 10) -> pd.DataFrame:
+    """Twin of the crawl_resume_parity query: the single-threaded
+    reference simulator run STRAIGHT THROUGH (no interruption).  The
+    Spark side runs the same crawl interrupted after 2 rounds and
+    resumed from the committed snapshot — the final fetch log and
+    URL-seen set must be identical (Q7 resume semantics: the snapshot
+    is the checkpoint, engine.go:341-343 loop + service.go pause).
+    Sentinels instead of NULLs (round/seq=-1, url/outcome='', fp=0) keep
+    the driver's value-hash comparison trivial."""
+    from tegenaria_spark.config import EngineConfig
+    from tegenaria_spark.plans.simulator import simulate_crawl
+    from tegenaria_spark.sources.synth import (
+        SiteConfig,
+        domain_budgets,
+        robots_rules,
+        seed_urls,
+    )
+
+    site = SiteConfig(n_domains=3, pages_per_domain=8)
+    cfg = EngineConfig(shuffle_partitions=8, bloom_enabled=False)
+    seeds = seed_urls(site, n_seeds=n_seeds)
+    sim = simulate_crawl(
+        seeds,
+        site,
+        cfg,
+        robots=robots_rules(site),
+        budgets=domain_budgets(site, default_budget=4),
+        # 5 rounds = the Spark side's 2 (pre-kill) + 3 (post-resume):
+        # the parity prefix, not the full drain, is the contract
+        max_rounds=5,
+    )
+    rows = [("log", int(t[0]), int(t[1]), t[3], t[6], 0) for t in sim.fetch_log]
+    rows += [("seen", -1, -1, "", "", int(fp)) for fp in sorted(sim.url_seen)]
+    return pd.DataFrame(
+        rows, columns=["kind", "round", "seq", "url", "outcome", "fp"]
+    ).astype({"round": "int32", "seq": "int64", "fp": "int64"})

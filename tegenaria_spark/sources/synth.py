@@ -191,6 +191,85 @@ def image_record(image_id: str, caption: str, fmt: str, cfg: SiteConfig) -> dict
     }
 
 
+def page_quotes(canon_url: str, cfg: SiteConfig) -> list[tuple[str, str, str]]:
+    """Generative model for a 200-page's quote items: (text, author,
+    tag) triples, 1-3 per page, pure hash functions of the canonical
+    URL.  This IS the ground truth the markup renders — an oracle can
+    call this directly and never parse HTML, so markup extraction is
+    verified against an independent derivation (the quotes example's
+    item shape, example/quotes/spider.go:25-29)."""
+    out = []
+    h = _page_hash(canon_url, cfg)
+    for i in range(1 + h % 3):
+        qh = xxh64_unsigned(f"quote:{cfg.seed}:{canon_url}:{i}".encode())
+        out.append(
+            (
+                f"quote {qh % 9973} from {canon_url.split('://', 1)[1].split('/', 1)[0]}",
+                f"author-{(qh >> 16) % 50:02d}",
+                f"t{(qh >> 32) % 8}",
+            )
+        )
+    return out
+
+
+def page_html(url: str, cfg: SiteConfig, method: str = "GET", body: Optional[bytes] = None) -> str:
+    """Render the synthetic page as REAL markup — the quotes-site shape
+    (example/quotes templates: ``div.quote`` with ``span.text`` /
+    ``small.author`` / ``a.tag``, pagination as ``ul.pager li.next a``).
+    Deterministic function of (URL, method, body) like
+    :func:`synth_page`; the pager carries EXACTLY the structured
+    ``outlinks`` — same-domain links relative (so extraction must
+    urljoin like the Go spider does, spider.go:74-88), cross-domain
+    absolute."""
+    canon, _, valid = py_canonicalize(url)
+    page = synth_page(url, cfg, method=method, body=body)
+    if not valid or page.status in (0, 404) or (page.status in (403, 500)):
+        return f'<html><body><h1 class="err">{page.status}</h1></body></html>'
+    if page.status == 301:
+        return (
+            "<html><body>"
+            f'<a class="redirect" href="{page.redirect_to}">moved</a>'
+            "</body></html>"
+        )
+    host = canon.split("://", 1)[1].split("/", 1)[0]
+    parts = [f"<html><head><title>{host}</title></head><body>"]
+    for text, author, tag in page_quotes(canon, cfg):
+        parts.append(
+            '<div class="quote">'
+            f'<span class="text">{text}</span>'
+            f'<small class="author">{author}</small>'
+            f'<div class="tags"><a class="tag" href="/tag/{tag}">{tag}</a></div>'
+            "</div>"
+        )
+    if page.image_id is not None:
+        parts.append(
+            f'<img class="payload" src="/img/{page.image_id}.{page.fmt}" '
+            f'alt="{page.caption}"/>'
+        )
+    parts.append('<ul class="pager">')
+    for link in page.outlinks:
+        lhost = link.split("://", 1)[1].split("/", 1)[0]
+        href = link[len("http://") + len(lhost):] if lhost == host else link
+        parts.append(f'<li class="next"><a href="{href}">more</a></li>')
+    parts.append("</ul></body></html>")
+    return "".join(parts)
+
+
+def html_testset_urls(cfg: SiteConfig, page_step: int = 3) -> list[str]:
+    """Deterministic URL set for the markup-extraction contract
+    queries: every domain, every *page_step*-th page, with the shuffle
+    variant rotating 0/1/2 so canonicalization (param order, fragment
+    drop) is exercised on the way into the renderer.  Mixed statuses by
+    construction (redirect/error pages yield no extracted rows)."""
+    urls = []
+    i = 0
+    for d in range(cfg.n_domains):
+        for p in range(0, cfg.pages_per_domain, page_step):
+            urls.append(cfg.page_url(d, p, shuffle=i % 3))
+            i += 1
+    return urls
+
+
 # ---------------------------------------------------------------------------
 # Seed frontier
 # ---------------------------------------------------------------------------
