@@ -1,17 +1,23 @@
-"""Benchmark: headline analytics queries at $SPARK_GRAFT_SF_DIR plus the
+"""Benchmark: every contract query at $SPARK_GRAFT_SF_DIR plus the
 north_rule crawl-throughput scaling measurement.
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total query sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...,
-   "crawl": {"local[8]": {...}, "local[32]": {...},
-             "fetched_urls_per_sec_8": ..., "fetched_urls_per_sec_32": ...,
-             "scaling_efficiency": ...}}
+   "crawl": {"local[4]": {...}, "local[16]": {...},
+             "fetched_urls_per_sec_lo": ..., "fetched_urls_per_sec_hi": ...,
+             "runs": [{"eff": ..., "clean": ..., "busy_cores": [...]}],
+             "n_clean_pairs": ..., "scaling_efficiency": ...}}
 
 The crawl section runs the SAME synthetic frontier crawl at two
 parallelism levels (the sandbox proxy for N vs 4N executors per the
 driver instruction) and reports fetched-URLs/sec at both plus
-eff = (thr_4N / thr_N) / 4.
+eff = (thr_4N / thr_N) / 4.  Pairs are NOISE-GATED: each measured
+window records machine-wide busy-cores (/proc/stat delta) and peak
+loadavg; the official scaling_efficiency is the median over pairs whose
+windows stayed within the engine's own footprint at both levels, and
+pairs accumulate until SPARK_GRAFT_SCALE_CLEAN_PAIRS (3) gated pairs
+exist or SPARK_GRAFT_SCALE_MAX_PAIRS (6) are spent.
 """
 
 from __future__ import annotations
@@ -62,9 +68,13 @@ HEADLINE = [
 
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Time EVERY contract query (r3 verdict #5: bench coverage ==
+    correctness coverage): the curated HEADLINE order first (stable
+    round-over-round comparison), then every remaining queries() key."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    order = HEADLINE + sorted(set(qs) - set(HEADLINE))
     times: dict[str, float] = {}
     # session warm-up OUTSIDE the timed window: JIT/codegen, parquet
     # reader init, and the first shuffle's setup used to be billed to
@@ -90,12 +100,68 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     ).applyInPandas(lambda pdf: pdf, "id long, g long").write.format("noop").mode(
         "overwrite"
     ).save()
-    for name in HEADLINE:
+    for name in order:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
     return times
+
+
+# ---------------------------------------------------------------------------
+# host-noise instrumentation (r3 verdict #1: gate scaling pairs on a
+# recorded noise measure so the official median comes from clean pairs)
+# ---------------------------------------------------------------------------
+
+
+def _stat_jiffies() -> tuple[int, int]:
+    """(total, idle) jiffies from /proc/stat's aggregate cpu line."""
+    with open("/proc/stat") as fh:
+        parts = fh.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    return sum(vals), vals[3] + vals[4]  # idle + iowait
+
+
+class _NoiseProbe:
+    """Machine-wide busy-core average over a window (from /proc/stat
+    deltas) plus the max 1-min loadavg sampled during it.  Our own
+    engine's footprint at local[N] is ~N busy cores (+GC/python-worker
+    overhead); anything far above that is another tenant — the pair
+    gets recorded either way, but only sufficiently-quiet pairs feed
+    the official median."""
+
+    def __init__(self):
+        import threading
+
+        self._t0 = self._i0 = 0
+        self.loadavg_max = 0.0
+        self.busy_cores = -1.0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._sample, daemon=True)
+
+    def _sample(self):
+        while not self._stop.wait(5.0):
+            try:
+                with open("/proc/loadavg") as fh:
+                    self.loadavg_max = max(self.loadavg_max, float(fh.read().split()[0]))
+            except OSError:
+                pass
+
+    def start(self):
+        self._t0, self._i0 = _stat_jiffies()
+        try:
+            with open("/proc/loadavg") as fh:
+                self.loadavg_max = float(fh.read().split()[0])
+        except OSError:
+            pass
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        t1, i1 = _stat_jiffies()
+        dt, di = t1 - self._t0, i1 - self._i0
+        if dt > 0:
+            self.busy_cores = round((dt - di) / dt * (os.cpu_count() or 32), 2)
 
 
 def run_crawl_subprocess(master: str, cpus: int) -> dict:
@@ -180,21 +246,39 @@ def run_crawl(master: str, cpus: int) -> dict:
 
     spark = get_spark(f"tegenaria-bench-{cpus}", master=master, config=cfg)
     workdir = tempfile.mkdtemp(prefix=f"bench-crawl-{cpus}-", dir="/dev/shm")
+    warm_dir = tempfile.mkdtemp(prefix=f"bench-warm-{cpus}-", dir="/dev/shm")
     try:
+        # warm-up rounds (whole-stage-codegen JIT, parquet writer init,
+        # python-worker pool spin-up) run at BOTH levels and are excluded
+        # from the measured window — the first rounds of a fresh JVM
+        # measure the JIT, not the engine.  r3 ran them at FULL budget
+        # (248 s of untimed crawling per local[4] level — the reason only
+        # 3 pairs fit a session, r3 verdict #2); what the JIT needs is
+        # the DAG shape, not the row volume, so the warm-up engine runs
+        # the identical plan on a THROWAWAY store at ~1/10 budget.
+        warmup_rounds = int(os.environ.get("SPARK_GRAFT_WARMUP_ROUNDS", "2"))
+        warm_budget = int(os.environ.get("SPARK_GRAFT_WARMUP_BUDGET", str(max(8, budget // 10))))
+        t0 = time.time()
+        warm_store = LocalSnapshotStore(warm_dir, spark, fp_buckets=cfg.fp_buckets)
+        warm_engine = CrawlEngine(
+            spark, warm_store, site, cfg,
+            budget_rows=domain_budgets(site, default_budget=warm_budget),
+        )
+        warm_engine.bootstrap(seed_frontier_df(spark, site, 20_000))
+        warm = warm_engine.run(resume=True, max_rounds=warmup_rounds)
+        warmup_wall = time.time() - t0
+        shutil.rmtree(warm_dir, ignore_errors=True)
+
         seeds = seed_frontier_df(spark, site, 150_000)
         store = LocalSnapshotStore(workdir, spark, fp_buckets=cfg.fp_buckets)
         engine = CrawlEngine(spark, store, site, cfg, budget_rows=budgets)
         t0 = time.time()
         engine.bootstrap(seeds)
         bootstrap_wall = time.time() - t0
-        # warm-up rounds (whole-stage-codegen JIT, parquet writer init,
-        # python-worker pool spin-up) run at BOTH levels and are excluded
-        # from the measured window — the first rounds of a fresh JVM
-        # measure the JIT, not the engine (measured: one warm-up round
-        # still left the next round 2× slow; two stabilize it)
-        warmup_rounds = int(os.environ.get("SPARK_GRAFT_WARMUP_ROUNDS", "2"))
-        warm = engine.run(resume=True, max_rounds=warmup_rounds)
+        probe = _NoiseProbe()
+        probe.start()
         summary = engine.run(resume=True, max_rounds=measured_rounds)
+        probe.stop()
         rounds_wall = sum(r.wall_s for r in summary.rounds)
         fetched = summary.total_fetched
         per_round = [
@@ -208,15 +292,15 @@ def run_crawl(master: str, cpus: int) -> dict:
         # steady rounds only so a commit tail can't masquerade as a
         # 2× throughput round.
         steady = per_round[1:-1] if len(per_round) >= 3 else per_round
-        try:  # shared-host noise instrument: loadavg at measurement end
-            with open("/proc/loadavg") as fh:
-                load1 = float(fh.read().split()[0])
-        except OSError:
-            load1 = -1.0
         return {
             "bootstrap_s": round(bootstrap_wall, 2),
-            "loadavg1": load1,
-            "warmup_round_s": round(sum(r.wall_s for r in warm.rounds), 2),
+            # machine-wide busy cores + peak loadavg over the MEASURED
+            # window — the pair gate's inputs (an idle co-tenant shows
+            # busy ≈ our own ~cpus footprint; a noisy one shows more)
+            "busy_cores": probe.busy_cores,
+            "loadavg_max": round(probe.loadavg_max, 2),
+            "warmup_round_s": round(warmup_wall, 2),
+            "warmup_fetched": warm.total_fetched,
             "rounds_wall_s": round(rounds_wall, 2),
             "fetched": fetched,
             "items": summary.total_items,
@@ -233,6 +317,7 @@ def run_crawl(master: str, cpus: int) -> dict:
     finally:
         spark.stop()
         shutil.rmtree(workdir, ignore_errors=True)
+        shutil.rmtree(warm_dir, ignore_errors=True)
 
 
 def main() -> None:
@@ -277,30 +362,51 @@ def main() -> None:
         levels = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "4,16")
         lo_cpus, hi_cpus = (int(x) for x in levels.split(","))
         ratio = hi_cpus / lo_cpus
-        # run the (N, 4N) pair several times and report the MEDIAN
-        # efficiency: identical runs on this shared VM vary 2-3× wall
-        # (BENCH.md §3), so a single pair is a coin flip — the headline
-        # must be an aggregate of repeats, with every run recorded
-        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+        # noise gate (r3 verdict #1): a pair is CLEAN when, during BOTH
+        # measured windows, the machine-wide busy-core average and peak
+        # loadavg stayed within what our own engine accounts for at that
+        # level (~n task slots + python workers/GC/commit overhead).
+        # Identical code measures eff 0.4-1.0 on this shared VM
+        # depending on co-tenants (r1-r3 history: driver artifacts 0.58/
+        # 0.59/0.61 vs quiet-box 0.97) — the official median must come
+        # from pairs the instruments certify as quiet, with every pair
+        # recorded either way.
+        def _gates(n: int) -> tuple[float, float]:
+            return (n * 1.5 + 2.5, n * 1.5 + 4.0)
+
+        def _is_clean(run: dict) -> bool:
+            for n in (lo_cpus, hi_cpus):
+                lvl = run[f"local[{n}]"]
+                busy_gate, load_gate = _gates(n)
+                if lvl.get("busy_cores", -1) < 0:
+                    return False
+                if lvl["busy_cores"] > busy_gate or lvl["loadavg_max"] > load_gate:
+                    return False
+            return True
+
+        # run pairs until target_clean gated pairs exist (or max_pairs
+        # spent); the official number is the median of the CLEAN pairs
+        target_clean = int(os.environ.get("SPARK_GRAFT_SCALE_CLEAN_PAIRS", "3"))
+        max_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_PAIRS", "6"))
         runs = []
 
         def run_pair():
             crawl_lo = run_crawl_subprocess(f"local[{lo_cpus}]", lo_cpus)
             crawl_hi = run_crawl_subprocess(f"local[{hi_cpus}]", hi_cpus)
-            runs.append(
-                {
-                    f"local[{lo_cpus}]": crawl_lo,
-                    f"local[{hi_cpus}]": crawl_hi,
-                    "eff": round(
-                        (crawl_hi["fetched_per_sec"] / crawl_lo["fetched_per_sec"]) / ratio, 3
-                    ),
-                    "eff_best_round": round(
-                        (crawl_hi["fetched_per_sec_best"] / crawl_lo["fetched_per_sec_best"])
-                        / ratio,
-                        3,
-                    ),
-                }
-            )
+            run = {
+                f"local[{lo_cpus}]": crawl_lo,
+                f"local[{hi_cpus}]": crawl_hi,
+                "eff": round(
+                    (crawl_hi["fetched_per_sec"] / crawl_lo["fetched_per_sec"]) / ratio, 3
+                ),
+                "eff_best_round": round(
+                    (crawl_hi["fetched_per_sec_best"] / crawl_lo["fetched_per_sec_best"])
+                    / ratio,
+                    3,
+                ),
+            }
+            run["clean"] = _is_clean(run)
+            runs.append(run)
 
         def compact(level: dict) -> dict:
             # per-round DAG-stage timings are diagnostics, not results —
@@ -318,24 +424,49 @@ def main() -> None:
             covering everything measured (with pairs_done telling the
             reader how far it got)."""
             if runs:
-                effs = sorted(r["eff"] for r in runs)
-                med = (
-                    effs[len(effs) // 2]
-                    if len(effs) % 2
-                    else (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
-                )
-                last = runs[-1]
+                def med(vals):
+                    vals = sorted(vals)
+                    n = len(vals)
+                    return vals[n // 2] if n % 2 else (vals[n // 2 - 1] + vals[n // 2]) / 2
+
+                clean = [r for r in runs if r["clean"]]
+                # official = median of noise-gated pairs; when no pair
+                # passed the gate the median of all pairs stands in,
+                # flagged by n_clean_pairs = 0
+                official = med([r["eff"] for r in (clean or runs)])
+                # prefer the best CLEAN pair's level detail for display
+                last = (clean or runs)[-1]
+                busy_gate_lo, load_gate_lo = _gates(lo_cpus)
+                busy_gate_hi, load_gate_hi = _gates(hi_cpus)
                 result["crawl"] = {
                     f"local[{lo_cpus}]": compact(last[f"local[{lo_cpus}]"]),
                     f"local[{hi_cpus}]": compact(last[f"local[{hi_cpus}]"]),
                     "fetched_urls_per_sec_lo": last[f"local[{lo_cpus}]"]["fetched_per_sec"],
                     "fetched_urls_per_sec_hi": last[f"local[{hi_cpus}]"]["fetched_per_sec"],
                     "pairs_done": len(runs),
+                    "gates": {
+                        f"local[{lo_cpus}]": [busy_gate_lo, load_gate_lo],
+                        f"local[{hi_cpus}]": [busy_gate_hi, load_gate_hi],
+                    },
                     "runs": [
-                        {"eff": r["eff"], "eff_best_round": r["eff_best_round"]}
+                        {
+                            "eff": r["eff"],
+                            "eff_best_round": r["eff_best_round"],
+                            "clean": r["clean"],
+                            "busy_cores": [
+                                r[f"local[{lo_cpus}]"]["busy_cores"],
+                                r[f"local[{hi_cpus}]"]["busy_cores"],
+                            ],
+                            "loadavg_max": [
+                                r[f"local[{lo_cpus}]"]["loadavg_max"],
+                                r[f"local[{hi_cpus}]"]["loadavg_max"],
+                            ],
+                        }
                         for r in runs
                     ],
-                    "scaling_efficiency": round(med, 3),
+                    "n_clean_pairs": len(clean),
+                    "scaling_efficiency": round(official, 3),
+                    "scaling_efficiency_all_pairs": round(med([r["eff"] for r in runs]), 3),
                     "scaling_efficiency_best_round": max(
                         r["eff_best_round"] for r in runs
                     ),
@@ -350,18 +481,15 @@ def main() -> None:
             print(json.dumps(result), flush=True)
 
         publish()  # queries-only snapshot, in case scaling never finishes
-        for i in range(repeats):
-            run_pair()
-            publish()
-        # tie-breaker (sound, pre-registered): with exactly 2 pairs and
-        # min(eff) < 0.8, one more pair decides the median-of-3.  Early
-        # stop at 2 only when BOTH pairs ≥ 0.8 — then ANY third outcome
-        # would leave the median ≥ 0.8, so skipping it cannot flip the
-        # verdict; when one pair absorbed a host-noise burst (identical
-        # code measures 0.4-1.0 on this shared VM), a 2-sample "median"
-        # is just the mean of one clean and one wrecked run.  All pairs
-        # are recorded either way.
-        if len(runs) == 2 and min(r["eff"] for r in runs) < 0.8:
+        # pre-registered stopping rule: accumulate pairs until
+        # target_clean NOISE-GATED pairs exist (their median is the
+        # official number) or the max_pairs budget is spent.  No
+        # result-dependent early stop — the gate looks only at the noise
+        # instruments, never at the measured efficiency, so the median
+        # cannot be selected for.
+        while len(runs) < max_pairs:
+            if sum(1 for r in runs if r["clean"]) >= target_clean:
+                break
             run_pair()
             publish()
 

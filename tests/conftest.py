@@ -11,9 +11,9 @@ import pytest
 from tegenaria_spark.config import EngineConfig
 from tegenaria_spark.session import get_spark
 
-# tiny test rounds: 4 part-files per table write is plenty, and every
+# tiny test rounds: 2 part-files per table write is plenty, and every
 # saved write task is saved wall across the ~100 commits the suite runs
-os.environ.setdefault("TEGENARIA_COMMIT_MAX_FILES", "4")
+os.environ.setdefault("TEGENARIA_COMMIT_MAX_FILES", "2")
 
 
 @pytest.fixture(scope="session")

@@ -11,7 +11,7 @@ from tegenaria_spark.plans.engine import CrawlEngine
 from tegenaria_spark.sources.store import LocalSnapshotStore
 from tegenaria_spark.sources.synth import SiteConfig, domain_budgets, robots_rules, seed_urls
 
-CFG = EngineConfig(shuffle_partitions=8, bloom_n=100_000)
+CFG = EngineConfig(shuffle_partitions=8, bloom_n=100_000, fetch_partitions=8)
 
 
 def _single_seed(site: SiteConfig, d: int, p: int) -> list[dict]:
@@ -77,7 +77,9 @@ def test_single_seed_round_stats(spark, tmp_store_dir):
 
 
 def test_crawl_terminates_and_dedups(spark, tmp_store_dir):
-    site = SiteConfig(n_domains=3, pages_per_domain=12)
+    # 2x8 pages drains in ~5 rounds — same termination/dedup semantics
+    # as a larger site at a third of the Spark-stage constants
+    site = SiteConfig(n_domains=2, pages_per_domain=8)
     store = LocalSnapshotStore(tmp_store_dir, spark)
     engine = CrawlEngine(
         spark,
@@ -117,11 +119,11 @@ def test_resume_from_snapshot(spark, tmp_store_dir):
     # derived dirs under the fixture dir so teardown removes them too
     store1 = LocalSnapshotStore(os.path.join(tmp_store_dir, "full"), spark)
     engine1 = CrawlEngine(spark, store1, site, CFG, budget_rows=domain_budgets(site, 8))
-    engine1.run(seeds, max_rounds=4)
+    engine1.run(seeds, max_rounds=3)
 
     store2 = LocalSnapshotStore(os.path.join(tmp_store_dir, "split"), spark)
     engine2 = CrawlEngine(spark, store2, site, CFG, budget_rows=domain_budgets(site, 8))
-    engine2.run(seeds, max_rounds=2)  # "crash" after 2 rounds
+    engine2.run(seeds, max_rounds=1)  # "crash" after 1 round
     engine3 = CrawlEngine(spark, store2, site, CFG, budget_rows=domain_budgets(site, 8))
     engine3.run(resume=True, max_rounds=2)
 
@@ -143,19 +145,6 @@ def test_resume_from_snapshot(spark, tmp_store_dir):
     assert seen_set(store1) == seen_set(store2)
 
 
-def test_lineage_rows_written(spark, tmp_store_dir):
-    site = SiteConfig(n_domains=2, pages_per_domain=8)
-    store = LocalSnapshotStore(tmp_store_dir, spark)
-    engine = CrawlEngine(spark, store, site, CFG)
-    engine.run(seed_urls(site, n_seeds=4), max_rounds=3)
-    lineage = store.read_log("lineage")
-    rows = lineage.collect()
-    assert len(rows) > 0
-    tables = {r["table"] for r in rows}
-    assert {"frontier", "url_seen", "fetch_log"} <= tables
-    assert all(r["snapshot_id"].startswith("snap-") for r in rows)
-
-
 def test_event_hooks_fire_in_order(spark, tmp_store_dir):
     """events.go:30-148 surface: START first, STOP last, per round
     ROUND_START → HEARTBEAT → ROUND_END; a raising handler is contained.
@@ -169,9 +158,21 @@ def test_event_hooks_fire_in_order(spark, tmp_store_dir):
     from tegenaria_spark.sources.store import LocalSnapshotStore
     from tegenaria_spark.sources.synth import SiteConfig, seed_urls
 
-    site = SiteConfig(n_domains=3, pages_per_domain=6)
+    from tegenaria_spark.operators.plugins import PluginSet, TransformChain
+
+    # one engine run certifies BOTH the event surface and the
+    # middleware/pipeline chains (previously two engine runs; the
+    # chain-order semantics are asserted on a tiny frame separately in
+    # test_plugin_chains_run_in_priority_order)
+    chain = TransformChain()
+    chain.add(lambda df: df.withColumn("_trace", F.lit("a")), priority=10)
+    pipes = TransformChain()
+    pipes.add(lambda df: df.filter(F.col("w") % 2 == 0))  # drop odd widths
+    plugins = PluginSet(request_middlewares=chain, item_pipelines=pipes)
+
+    site = SiteConfig(n_domains=3, pages_per_domain=6, image_ratio=1.0)
     store = LocalSnapshotStore(tmp_store_dir, spark)
-    engine = CrawlEngine(spark, store, site, CFG)
+    engine = CrawlEngine(spark, store, site, CFG, plugins=plugins)
 
     seen: list[tuple[str, int]] = []
     for name in (ev.START, ev.ROUND_START, ev.HEARTBEAT, ev.ROUND_END, ev.STOP):
@@ -180,7 +181,7 @@ def test_event_hooks_fire_in_order(spark, tmp_store_dir):
         )
     engine.events.register(ev.ROUND_START, lambda **kw: 1 / 0)  # contained
 
-    summary = engine.run(seed_urls(site, n_seeds=6), max_rounds=3)
+    summary = engine.run(seed_urls(site, n_seeds=6), max_rounds=2)
     n = len(summary.rounds)
     assert n >= 1
     assert seen[0][0] == ev.START and seen[-1][0] == ev.STOP
@@ -203,17 +204,23 @@ def test_event_hooks_fire_in_order(spark, tmp_store_dir):
     for q in range(n):
         assert starts[q][0] < hbs[q][0] < ends[q][0]
 
+    # the item pipeline ran inside the same crawl: only even widths land
+    items = store.read_log("items").collect()
+    assert items and all(r["w"] % 2 == 0 for r in items)
+    # lineage rows committed for every table of every round
+    lineage = store.read_log("lineage")
+    tables = {r["table"] for r in lineage.collect()}
+    assert {"frontier", "url_seen", "fetch_log"} <= tables
 
-def test_plugin_chains_run_in_priority_order(spark, tmp_store_dir):
+
+def test_plugin_chains_run_in_priority_order(spark):
     """middlewares.go:27-42 / pipelines.go:28-33 surface: request
-    middlewares ascend, response middlewares descend, item pipelines
-    can drop items before the store commit."""
+    middlewares ascend, response middlewares descend — asserted on a
+    tiny frame (the in-crawl effect of an item pipeline is asserted in
+    test_event_hooks_fire_in_order's engine run)."""
     import pyspark.sql.functions as F
 
-    from tegenaria_spark.operators.plugins import PluginSet, TransformChain
-    from tegenaria_spark.plans.engine import CrawlEngine
-    from tegenaria_spark.sources.store import LocalSnapshotStore
-    from tegenaria_spark.sources.synth import SiteConfig, seed_urls
+    from tegenaria_spark.operators.plugins import TransformChain
 
     chain = TransformChain()
     chain.add(lambda df: df.withColumn("_trace", F.lit("a")), priority=10)
@@ -221,27 +228,10 @@ def test_plugin_chains_run_in_priority_order(spark, tmp_store_dir):
     resp = TransformChain(reverse=True)
     resp.add(lambda df: df.withColumn("_rt", F.lit("low")), priority=10)
     resp.add(lambda df: df.withColumn("_rt", F.lit("high")), priority=20)  # runs FIRST
-    pipes = TransformChain()
-    pipes.add(lambda df: df.filter(F.col("w") % 2 == 0))  # drop odd-width items
 
-    # chain-order semantics, directly observable on a tiny frame
     probe = spark.range(1)
     assert chain.apply(probe).collect()[0]["_trace"] == "ab"  # ascending
     assert resp.apply(probe).collect()[0]["_rt"] == "low"  # descending: high first
-
-    plugins = PluginSet(request_middlewares=chain, response_middlewares=resp, item_pipelines=pipes)
-    site = SiteConfig(n_domains=3, pages_per_domain=8, image_ratio=1.0)
-    store = LocalSnapshotStore(tmp_store_dir, spark)
-    engine = CrawlEngine(spark, store, site, CFG, plugins=plugins)
-    engine.run(seed_urls(site, n_seeds=8), max_rounds=4)
-
-    items = store.read_log("items").collect()
-    assert items, "pipeline dropped everything — expected some even-width items"
-    assert all(r["w"] % 2 == 0 for r in items)
-    # the ascending request chain composed a→ab; the descending response
-    # chain ended on the low-priority value
-    log = store.read_log("fetch_log")
-    assert log.count() > 0
 
 
 def test_pause_resume_and_status(spark, tmp_store_dir):
@@ -275,19 +265,11 @@ def test_pause_resume_and_status(spark, tmp_store_dir):
     assert st["outcome_totals"].get("fetched", 0) == first.total_fetched
     assert st["url_seen_total"] > 0
 
-    rest = engine.run(resume=True, max_rounds=3)
-    assert engine.status()["state"] == "idle"  # drained, back to idle
+    rest = engine.run(resume=True, max_rounds=2)
+    assert engine.status()["state"] == "idle"  # back to idle after the run
     assert store.last_committed_round() == 1 + len(rest.rounds)
-    total_fetched = first.total_fetched + rest.total_fetched
-
-    # straight-through twin run reaches the identical totals
-    import tempfile, shutil
-
-    d2 = tempfile.mkdtemp(prefix="tegenaria-pausecmp-")
-    try:
-        engine2 = CrawlEngine(spark, LocalSnapshotStore(d2, spark), site, CFG)
-        full = engine2.run(seeds, max_rounds=4)
-        assert full.total_fetched == total_fetched
-        assert full.total_items == first.total_items + rest.total_items
-    finally:
-        shutil.rmtree(d2, ignore_errors=True)
+    assert rest.total_fetched > 0  # the resumed run made real progress
+    # interrupted-run == straight-through-run equality is certified by
+    # test_resume_from_snapshot AND the crawl_resume_parity contract
+    # query (simulator twin); re-running a third engine here only
+    # re-bought those assertions at ~20 s of Spark-stage constants

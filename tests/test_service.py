@@ -14,7 +14,7 @@ from tegenaria_spark.plans.service import ControlPlane
 from tegenaria_spark.sources.store import LocalSnapshotStore
 from tegenaria_spark.sources.synth import SiteConfig, seed_urls
 
-CFG = EngineConfig(shuffle_partitions=4)
+CFG = EngineConfig(shuffle_partitions=4, fetch_partitions=4)
 
 
 def _get(addr, path):
@@ -49,10 +49,12 @@ def _wait(pred, timeout=180, interval=0.2):
 
 
 def test_control_plane_status_pause_resume(spark, tmp_store_dir):
-    site = SiteConfig(n_domains=3, pages_per_domain=12)
+    # smallest site that still paces rounds slower than the HTTP polls:
+    # the surface under test is the control plane, not the crawl
+    site = SiteConfig(n_domains=2, pages_per_domain=6)
     store = LocalSnapshotStore(tmp_store_dir, spark)
     engine = CrawlEngine(spark, store, site, CFG)
-    engine.bootstrap(seed_urls(site, n_seeds=6))
+    engine.bootstrap(seed_urls(site, n_seeds=5))
 
     plane = ControlPlane(engine, max_rounds=50).start()
     addr = plane.address

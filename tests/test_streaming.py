@@ -58,7 +58,7 @@ def test_fetch_log_metrics_stream_matches_batch(spark, tmp_store_dir):
     site = SiteConfig(n_domains=2, pages_per_domain=6)
     store = LocalSnapshotStore(tmp_store_dir, spark)
     engine = CrawlEngine(spark, store, site, CFG)
-    engine.run(seed_urls(site, n_seeds=4), max_rounds=3)
+    engine.run(seed_urls(site, n_seeds=4), max_rounds=2)
 
     with tempfile.TemporaryDirectory() as ckpt:
         q = stream_fetch_log_metrics(spark, tmp_store_dir, ckpt, query_name="fm_test")
