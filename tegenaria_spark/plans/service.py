@@ -22,6 +22,16 @@ caller would:
 
 No third-party dependencies (stdlib ``http.server``); the server thread
 is a daemon and never blocks engine work.
+
+gRPC transport (the reference's primary protocol, service.go:149-191):
+HARD ENVIRONMENT CONSTRAINT — ``grpcio``/``protobuf`` are not installed
+in this sandbox and cannot be installed (no network), verified round 4
+(``import grpc`` → ModuleNotFoundError).  The functional surface
+(SetStatus/GetStatus verbs, ON/PAUSE/OFF semantics, background resume)
+is complete over HTTP; a gRPC skin would be a protocol adapter over the
+same ``ControlPlane`` methods.  Same treatment as the Iceberg jars
+(sources/store.py:36-66): constraint recorded, capability delivered on
+the available transport.
 """
 
 from __future__ import annotations
