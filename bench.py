@@ -265,26 +265,45 @@ def run_crawl(master: str, cpus: int) -> dict:
         t0 = time.time()
         engine.bootstrap(seeds)
         bootstrap_wall = time.time() - t0
-        t0 = time.time()
-        warm = engine.run(resume=True, max_rounds=warmup_rounds)
-        warmup_wall = time.time() - t0
+
+        # warm-up and measured rounds run in ONE engine.run() so the
+        # measured window is CONTINUOUSLY PIPELINED steady state.  With
+        # two separate run() calls (r3 and the first r4 attempt), the
+        # measured run's first round pays compute + commit SERIALLY
+        # (pipelining only overlaps rounds 2+ within a run) — a per-run
+        # constant that costs local[4] 4× more wall than local[16] and
+        # deflated a certified-quiet pair to eff 0.632 while its steady
+        # rounds measured 0.909.  At the 10^10 design point a crawl is
+        # thousands of continuously pipelined rounds; rounds 3..5 of a
+        # single run are the honest sample of that regime.  The split
+        # into warm-up vs measured uses the engine's per-round cadence
+        # records (Σ cadence == loop elapsed, so the sum stays honest).
+        from tegenaria_spark.plans import events as ev
+
         probe = _NoiseProbe()
-        probe.start()
-        summary = engine.run(resume=True, max_rounds=measured_rounds)
+        engine.events.register(
+            ev.ROUND_START,
+            lambda round_no=None, **kw: probe.start()
+            if round_no == warmup_rounds
+            else None,
+        )
+        t0 = time.time()
+        summary_all = engine.run(
+            resume=True, max_rounds=warmup_rounds + measured_rounds
+        )
         probe.stop()
-        rounds_wall = sum(r.wall_s for r in summary.rounds)
-        fetched = summary.total_fetched
-        per_round = [
-            round(r.n_fetched / r.wall_s, 2) for r in summary.rounds if r.wall_s > 0
-        ]
-        # wall_s is round CADENCE (pipelined commits): within one run()
-        # the FIRST round's cadence absorbs an extra compute phase and
-        # the LAST round's is just its commit tail — only the middle
-        # rounds are steady-state.  The total stays honest (sum of
-        # cadences == loop elapsed); per-round "best" draws from the
-        # steady rounds only so a commit tail can't masquerade as a
-        # 2× throughput round.
-        steady = per_round[1:-1] if len(per_round) >= 3 else per_round
+        warm_slice = summary_all.rounds[:warmup_rounds]
+        meas = summary_all.rounds[warmup_rounds:]
+        warmup_wall = sum(r.wall_s for r in warm_slice)
+        rounds_wall = sum(r.wall_s for r in meas)
+        fetched = sum(r.n_fetched for r in meas)
+        total_items = sum(r.n_items for r in meas)
+        per_round = [round(r.n_fetched / r.wall_s, 2) for r in meas if r.wall_s > 0]
+        # wall_s is round CADENCE (pipelined commits): in the continuous
+        # run every measured round is steady EXCEPT the last, whose
+        # cadence is just its commit tail — "best" excludes it so a
+        # commit tail can't masquerade as a 2× throughput round.
+        steady = per_round[:-1] if len(per_round) >= 2 else per_round
         return {
             "bootstrap_s": round(bootstrap_wall, 2),
             # machine-wide busy cores + peak loadavg over the MEASURED
@@ -293,11 +312,11 @@ def run_crawl(master: str, cpus: int) -> dict:
             "busy_cores": probe.busy_cores,
             "loadavg_max": round(probe.loadavg_max, 2),
             "warmup_round_s": round(warmup_wall, 2),
-            "warmup_fetched": warm.total_fetched,
+            "warmup_fetched": sum(r.n_fetched for r in warm_slice),
             "rounds_wall_s": round(rounds_wall, 2),
             "fetched": fetched,
-            "items": summary.total_items,
-            "rounds": len(summary.rounds),
+            "items": total_items,
+            "rounds": len(meas),
             "budget": budget,
             "fetched_per_sec": round(fetched / rounds_wall, 2),
             "fetched_per_sec_rounds": per_round,
@@ -305,7 +324,7 @@ def run_crawl(master: str, cpus: int) -> dict:
             # least-noise estimate on a shared sandbox VM (noise only
             # ever adds wall time to a deterministic, equal-work round)
             "fetched_per_sec_best": max(steady) if steady else 0.0,
-            "round_timings": [r.timings for r in summary.rounds],
+            "round_timings": [r.timings for r in meas],
         }
     finally:
         spark.stop()
