@@ -190,7 +190,67 @@ class _NoiseProbe:
             self.steal_cores = round((s1 - self._s0) / dt * ncpu, 2)
 
 
-def run_crawl_subprocess(master: str, cpus: int) -> dict:
+def run_ballast(master: str, cpus: int) -> None:
+    """Hardware-parity ballast: an INDEPENDENT copy of the same crawl
+    workload, run on the cores the lo level does NOT use, for as long
+    as the parent lets it live (killed after the measured window).
+
+    Why: the 4→16 proxy broke down even on certified-quiet windows —
+    per-level throughput tracked the HOST's turbo/memory-bandwidth
+    state (triad probe 0.55→5.34 GB/s across adjacent windows), and a
+    4-thread JVM on an otherwise-idle machine rides per-core conditions
+    a 16-thread JVM can never see, deflating the ratio for a reason
+    that does not exist on a real cluster (N and 4N executors have
+    identical per-core hardware by construction).  With the ballast
+    occupying (hi−lo) cores during the lo window, BOTH windows run the
+    machine at ~hi busy cores — per-core turbo and bandwidth conditions
+    are equalized, which is exactly the cluster's equal-hardware
+    premise.  The ballast is the same fetch→parse→commit mix (a CPU
+    spinner would equalize frequency but not bandwidth/cache traffic).
+    """
+    from tegenaria_spark.config import EngineConfig
+    from tegenaria_spark.plans.engine import CrawlEngine
+    from tegenaria_spark.session import get_spark
+    from tegenaria_spark.sources.store import LocalSnapshotStore
+    from tegenaria_spark.sources.synth import SiteConfig, domain_budgets, seed_frontier_df
+
+    budget = int(os.environ.get("SPARK_GRAFT_BUDGET", "256"))
+    cfg = EngineConfig(
+        shuffle_partitions=32,
+        domain_salt_width=2,
+        fetch_partitions=256,
+        default_budget_per_round=budget,
+        bloom_enabled=False,
+        max_retries=0,
+        log_outcomes=("fetched", "failed", "robots_blocked", "invalid"),
+        extra_spark_conf={
+            "spark.local.dir": "/dev/shm/tegenaria-ballast-local",
+            "spark.driver.memory": "24g",
+        },
+    )
+    # larger URL space than the measured site: the ballast must outlive
+    # the whole lo window without draining
+    site = SiteConfig(
+        n_domains=512, pages_per_domain=6000, max_outlinks=6,
+        image_ratio=1.0, img_scale=2,
+    )
+    spark = get_spark(f"tegenaria-ballast-{cpus}", master=master, config=cfg)
+    workdir = tempfile.mkdtemp(prefix=f"ballast-{cpus}-", dir="/dev/shm")
+    try:
+        store = LocalSnapshotStore(workdir, spark, fp_buckets=cfg.fp_buckets)
+        engine = CrawlEngine(
+            spark, store, site, cfg,
+            budget_rows=domain_budgets(site, default_budget=budget),
+        )
+        engine.bootstrap(seed_frontier_df(spark, site, 150_000))
+        print("BALLAST_READY", flush=True)
+        engine.run(resume=True, max_rounds=10_000)
+    finally:
+        spark.stop()
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def run_crawl_subprocess(master: str, cpus: int, ballast_cpus: int = 0) -> dict:
     """Run one crawl level in a FRESH Python process.
 
     Two SparkSessions sequentially in one Python process share leftover
@@ -201,11 +261,15 @@ def run_crawl_subprocess(master: str, cpus: int) -> dict:
     per level gives each measurement a pristine driver."""
     import subprocess
 
+    env = dict(os.environ)
+    if ballast_cpus > 0:
+        env["SPARK_GRAFT_BALLAST_CPUS"] = str(ballast_cpus)
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--crawl", master, str(cpus)],
         capture_output=True,
         text=True,
         check=True,
+        env=env,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
@@ -270,6 +334,43 @@ def run_crawl(master: str, cpus: int) -> dict:
     )
     budgets = domain_budgets(site, default_budget=budget)
 
+    # hardware-parity ballast (see run_ballast): occupy the cores this
+    # level does NOT use with the same workload mix, so both pair
+    # levels measure under ~identical machine-wide conditions
+    ballast_cpus = int(os.environ.get("SPARK_GRAFT_BALLAST_CPUS", "0"))
+    ballast_proc = None
+    if ballast_cpus > 0:
+        import subprocess
+
+        ballast_proc = subprocess.Popen(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--ballast",
+                f"local[{ballast_cpus}]",
+                str(ballast_cpus),
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+            # own process group: killing the ballast must take its JVM
+            # grandchild with it
+            start_new_session=True,
+            env={k: v for k, v in os.environ.items() if k != "SPARK_GRAFT_BALLAST_CPUS"},
+        )
+        # block until the ballast crawl is actually running rounds —
+        # the measured window must not start on a half-idle machine
+        for line in ballast_proc.stdout:
+            if line.startswith("BALLAST_READY"):
+                break
+        # keep draining stdout on a daemon thread: a filled pipe would
+        # block the ballast mid-window
+        import threading as _th
+
+        _th.Thread(
+            target=lambda: all(True for _ in ballast_proc.stdout), daemon=True
+        ).start()
+
     bw_pre = _triad_gbps()
     spark = get_spark(f"tegenaria-bench-{cpus}", master=master, config=cfg)
     workdir = tempfile.mkdtemp(prefix=f"bench-crawl-{cpus}-", dir="/dev/shm")
@@ -319,6 +420,7 @@ def run_crawl(master: str, cpus: int) -> dict:
             resume=True, max_rounds=warmup_rounds + measured_rounds
         )
         probe.stop()
+        ballast_alive = ballast_proc.poll() is None if ballast_proc is not None else None
         bw_post = _triad_gbps()
         warm_slice = summary_all.rounds[:warmup_rounds]
         meas = summary_all.rounds[warmup_rounds:]
@@ -338,6 +440,10 @@ def run_crawl(master: str, cpus: int) -> dict:
             # window — the pair gate's inputs (an idle co-tenant shows
             # busy ≈ our own ~cpus footprint; a noisy one shows more)
             "busy_cores": probe.busy_cores,
+            "ballast_cpus": ballast_cpus,
+            # False = the ballast died mid-window: the lo level then ran
+            # on a half-idle machine and the pair must not gate clean
+            "ballast_alive": ballast_alive,
             "steal_cores": probe.steal_cores,
             "triad_gbps": [bw_pre, bw_post],
             "loadavg_max": round(probe.loadavg_max, 2),
@@ -357,6 +463,18 @@ def run_crawl(master: str, cpus: int) -> dict:
             "round_timings": [r.timings for r in meas],
         }
     finally:
+        if ballast_proc is not None:
+            import signal
+
+            try:
+                os.killpg(os.getpgid(ballast_proc.pid), signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                ballast_proc.kill()
+            ballast_proc.wait()
+            shutil.rmtree("/dev/shm/tegenaria-ballast-local", ignore_errors=True)
+            for d in os.listdir("/dev/shm"):
+                if d.startswith("ballast-"):
+                    shutil.rmtree(os.path.join("/dev/shm", d), ignore_errors=True)
         spark.stop()
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -367,6 +485,9 @@ def main() -> None:
     if len(sys.argv) >= 4 and sys.argv[1] == "--crawl":
         # child mode: one crawl level in this (fresh) process
         print(json.dumps(run_crawl(sys.argv[2], int(sys.argv[3]))))
+        return
+    if len(sys.argv) >= 4 and sys.argv[1] == "--ballast":
+        run_ballast(sys.argv[2], int(sys.argv[3]))
         return
 
     # query timings must not include oracle-fixture regeneration (that
@@ -420,10 +541,16 @@ def main() -> None:
         def _is_clean(run: dict) -> bool:
             for n in (lo_cpus, hi_cpus):
                 lvl = run[f"local[{n}]"]
-                busy_gate, load_gate = _gates(n)
+                # with the parity ballast the lo window runs the machine
+                # at ~hi busy cores too — both windows gate at the hi
+                # footprint
+                n_eff = n + lvl.get("ballast_cpus", 0)
+                busy_gate, load_gate = _gates(n_eff)
                 if lvl.get("busy_cores", -1) < 0:
                     return False
                 if lvl["busy_cores"] > busy_gate or lvl["loadavg_max"] > load_gate:
+                    return False
+                if lvl.get("ballast_alive") is False:
                     return False
                 # hypervisor steal: host cycles given to other tenants
                 # while our tasks were runnable — the contention class
@@ -439,7 +566,9 @@ def main() -> None:
         runs = []
 
         def run_pair():
-            crawl_lo = run_crawl_subprocess(f"local[{lo_cpus}]", lo_cpus)
+            crawl_lo = run_crawl_subprocess(
+                f"local[{lo_cpus}]", lo_cpus, ballast_cpus=hi_cpus - lo_cpus
+            )
             crawl_hi = run_crawl_subprocess(f"local[{hi_cpus}]", hi_cpus)
             run = {
                 f"local[{lo_cpus}]": crawl_lo,
