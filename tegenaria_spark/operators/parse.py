@@ -114,24 +114,37 @@ def build_quote_html_parser(name: str = "quote_html_parser") -> str:
     return name
 
 
-def run_parsers(ok: DataFrame) -> tuple[DataFrame, DataFrame]:
+def run_parsers(
+    ok: DataFrame, links_from: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
     """M3: route fetched rows to their parser by the ``parser`` column.
 
     With one registered parser this is a single pass; with many, each
     parser sees only its slice (same effect as the reference's
-    per-request reflective dispatch, engine.go:477-479)."""
+    per-request reflective dispatch, engine.go:477-479).
+
+    ``links_from``: optional schema-identical twin of ``ok`` whose
+    payload columns are NULL literals (the engine's narrow meta pin).
+    Link extraction runs against it so the outlink path never scans the
+    round's pinned image bytes; item extraction always reads ``ok``.
+    Both halves stay lazy, so the unused half of each parser call is
+    never executed."""
+    links_src = ok if links_from is None else links_from
     if len(PARSER_REGISTRY) == 1:
         # fast path: no distinct job — everything routes to the one parser
         name, fn = next(iter(PARSER_REGISTRY.items()))
-        return fn(ok)
-    names = [r["parser"] for r in ok.select("parser").distinct().collect()]
+        items, _ = fn(ok)
+        _, links = fn(links_src)
+        return items, links
+    names = [r["parser"] for r in links_src.select("parser").distinct().collect()]
     items_parts: list[DataFrame] = []
     links_parts: list[DataFrame] = []
     for name in names:
         fn = PARSER_REGISTRY.get(name)
         if fn is None:
             raise KeyError(f"parser not registered: {name!r}")
-        items, links = fn(ok.filter(F.col("parser") == name))
+        items, _ = fn(ok.filter(F.col("parser") == name))
+        _, links = fn(links_src.filter(F.col("parser") == name))
         items_parts.append(items)
         links_parts.append(links)
     if not items_parts:

@@ -400,10 +400,25 @@ class CrawlEngine:
         fetched = pin(fetched, disk=True)  # cut lineage; fetch runs once;
         # payload blocks live off-heap (see pin docstring)
         mark("fetch")
+        # Narrow meta twin of the fetch output: the image payload column
+        # is replaced by a NULL literal so the schema (and the parser
+        # API) is unchanged while the pinned blocks stay KBs-per-row
+        # small.  Checkpoint blocks are whole-row — column pruning can't
+        # reach inside them — so every downstream scan of the payload
+        # pin re-deserializes the round's GBs of image bytes.  With the
+        # twin, the payload pin is scanned exactly twice per round (once
+        # here, once by the items table write); links, fetch-log, retry
+        # and frontier assembly all read the cheap meta pin.
+        meta = pin(
+            fetched.drop("image_bytes").withColumn(
+                "image_bytes", F.lit(None).cast("binary")
+            )
+        )
         ok = fetched.filter(F.col("error").isNull())
-        failed = fetched.filter(F.col("error").isNotNull())
+        ok_meta = meta.filter(F.col("error").isNull())
+        failed = meta.filter(F.col("error").isNotNull())
 
-        items, links = run_parsers(ok)
+        items, links = run_parsers(ok, links_from=ok_meta)
         items = self.plugins.item_pipelines.apply(items)
         links_seq = assign_enqueue_seq(links, r + 1, cfg, pin=pin)
         mark("parse_seq")
@@ -441,7 +456,7 @@ class CrawlEngine:
         )
 
         log_parts = {
-            "fetched": ok,
+            "fetched": ok_meta,
             "failed": failed,
             "robots_blocked": blocked,
             "deferred": deferred,
