@@ -319,6 +319,22 @@ def _dedup_jaccard_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold_pct=90)
 
 
+def _dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact substring dedup, span-emission stage (Lee et al. 2022
+    # ExactSubstr): maximal token spans whose every 8-token window
+    # occurs >= 2 times corpus-wide
+    from tegenaria_spark.operators.textdedup import duplicate_token_spans
+
+    return duplicate_token_spans(_t(spark, sf_dir, "documents"), n=8, min_occ=2)
+
+
+def _dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact substring dedup, removal stage: cleaned text per document
+    from tegenaria_spark.operators.textdedup import strip_duplicate_spans
+
+    return strip_duplicate_spans(_t(spark, sf_dir, "documents"), n=8, min_occ=2)
+
+
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tegenaria_spark.operators.textdedup import minhash_lsh_pairs
     from tegenaria_spark.oracle_twins import expected_minhash_pairs
@@ -846,6 +862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_jaccard_words": _dedup_jaccard_words,
         "dedup_jaccard_ngrams": _dedup_jaccard_ngrams,
+        "dedup_substring_spans": _dedup_substring_spans,
+        "dedup_substring_clean": _dedup_substring_clean,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "text_quality": _text_quality,
@@ -1262,6 +1280,53 @@ def oracle_sql() -> dict[str, str]:
             r"       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') "
             r"     AS redacted "
             r"FROM documents"
+        ),
+        "dedup_substring_spans": (
+            "WITH toks AS ("
+            "  SELECT doc_id, list_filter(string_split(lower(coalesce(text, '')), ' '), "
+            "                             w -> w <> '') AS ws FROM documents), "
+            "grams AS ("
+            "  SELECT doc_id, i AS pos, array_to_string(ws[i+1:i+8], ' ') AS g "
+            "  FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 8)) AS i "
+            "        FROM toks WHERE len(ws) >= 8)), "
+            "dup AS (SELECT doc_id, pos FROM ("
+            "  SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS occ FROM grams) "
+            "  WHERE occ >= 2), "
+            "isl AS (SELECT doc_id, pos, "
+            "        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp "
+            "        FROM dup) "
+            "SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok, "
+            "       CAST(max(pos) + 7 AS BIGINT) AS end_tok, "
+            "       CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len "
+            "FROM isl GROUP BY doc_id, grp"
+        ),
+        "dedup_substring_clean": (
+            "WITH toks AS ("
+            "  SELECT doc_id, list_filter(string_split(lower(coalesce(text, '')), ' '), "
+            "                             w -> w <> '') AS ws FROM documents), "
+            "tok AS (SELECT doc_id, i AS pos, ws[i+1] AS tok "
+            "        FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 1)) AS i "
+            "              FROM toks WHERE len(ws) >= 1)), "
+            "grams AS ("
+            "  SELECT doc_id, i AS pos, array_to_string(ws[i+1:i+8], ' ') AS g "
+            "  FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 8)) AS i "
+            "        FROM toks WHERE len(ws) >= 8)), "
+            "dup AS (SELECT doc_id, pos FROM ("
+            "  SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS occ FROM grams) "
+            "  WHERE occ >= 2), "
+            "cov AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS pos "
+            "        FROM dup), "
+            "kept AS ("
+            "  SELECT t.doc_id, count(*) AS n_tokens, "
+            "         sum(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_removed, "
+            "         string_agg(CASE WHEN c.pos IS NULL THEN t.tok END, ' ' ORDER BY t.pos) "
+            "           AS clean_text "
+            "  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos "
+            "  GROUP BY t.doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens, "
+            "       CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed, "
+            "       coalesce(clean_text, '') AS clean_text "
+            "FROM (SELECT doc_id FROM documents) d LEFT JOIN kept USING (doc_id)"
         ),
         "corpus_dup_ngrams": (
             "WITH grams AS ("

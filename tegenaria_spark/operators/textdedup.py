@@ -554,3 +554,139 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8, **kw) -> DataFrame
     """Near-dup pairs by SimHash hamming distance (blocking guarantees
     in :func:`hamming_near_pairs`)."""
     return hamming_near_pairs(simhash_table(docs, **kw), max_hamming)
+
+
+def duplicate_token_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_occ: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring dedup, span-emission stage (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    ExactSubstr dedup their suffix-array pipeline computes): per
+    document, every MAXIMAL token span all of whose length-*n* token
+    windows occur ≥ *min_occ* times corpus-wide (all positions count,
+    self-repeats included — a doc that repeats its own boilerplate is
+    deduplicated against itself, matching the paper's definition of a
+    substring that "appears more than once" in the corpus).
+
+    Output: ``(doc_id, start_tok, end_tok, span_len)`` with 0-based
+    inclusive token indices; consecutive duplicated windows merge into
+    one maximal span (gap-and-island).  Feed the spans to
+    :func:`strip_duplicate_spans` to materialize cleaned text.
+
+    Plan shape (100 TB): the suffix array of the paper is a
+    single-machine construct; the distributed equivalent is two
+    bounded exchanges.  Exchange 1 partitions the exploded
+    (gram, doc, pos) stream BY GRAM for a count window — identical
+    economics to :func:`~tegenaria_spark.operators.curation.
+    corpus_dup_ngrams` (the gram string is the key, so the count is
+    exact, not hash-approximate; at petabyte scale swap the key for
+    ``xxhash64(g)`` and accept the 2^-64 collision).  Exchange 2
+    re-partitions surviving positions BY DOC for the island window —
+    its volume is only the DUPLICATED windows, a small fraction of the
+    corpus in the non-pathological case.  No join, no driver state,
+    no Python in the pipeline (pure Catalyst).
+    """
+    from tegenaria_spark.operators.curation import word_ngrams_col
+
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_ngrams_col(text_col, n)).alias("pos", "g"),
+    )
+    dup = (
+        grams.withColumn("occ", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .filter(F.col("occ") >= min_occ)
+        .select("doc_id", "pos")
+    )
+    isl = dup.withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("long").alias("start_tok"),
+        (F.max("pos") + (n - 1)).cast("long").alias("end_tok"),
+        (F.max("pos") - F.min("pos") + n).cast("long").alias("span_len"),
+    ).select("doc_id", "start_tok", "end_tok", "span_len")
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_occ: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring dedup, removal stage: drop every token covered
+    by a duplicated span (see :func:`duplicate_token_spans`) and
+    re-join the survivors.  Output ``(doc_id, n_tokens, n_removed,
+    clean_text)`` for every document (docs with no duplicated span
+    pass through with ``n_removed = 0``).
+
+    Plan shape (100 TB): duplicated-window positions expand to covered
+    token positions via ``explode(sequence(pos, pos+n-1))`` + distinct
+    — volume bounded by n × duplicated windows.  The survivors join is
+    a single shuffle on (doc_id) after both sides are keyed by
+    (doc_id, pos); reassembly sorts each doc's surviving tokens with
+    ``array_sort`` over the collected (pos, tok) structs — per-doc
+    state only, no global sort.
+    """
+    from tegenaria_spark.operators.curation import word_ngrams_col
+
+    toks_arr = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda w: w != "",
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks_arr).alias("pos", "tok")
+    )
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_ngrams_col(text_col, n)).alias("pos", "g"),
+    )
+    covered = (
+        grams.withColumn("occ", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .filter(F.col("occ") >= min_occ)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("pos"),
+        )
+        .distinct()
+        .withColumn("covered", F.lit(True))
+    )
+    kept = (
+        toks.join(covered, ["doc_id", "pos"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.col("covered").isNotNull().cast("long")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("covered").isNull(),
+                                F.struct(F.col("pos"), F.col("tok")),
+                            )
+                        )
+                    ),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    # zero-token docs have no exploded rows — restore via left join
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -367,3 +367,44 @@ def test_pii_stats_counts_and_redaction(spark):
     assert out[2].redacted == rows[2][1]  # untouched
     assert out[3].redacted == ""  # NULL text → empty, zero counts
     assert (out[3].n_emails, out[3].n_phones, out[3].n_ips) == (0, 0, 0)
+
+
+def test_duplicate_token_spans_hand_case(spark):
+    """ExactSubstr span semantics (Lee et al. 2022): maximal merged
+    spans, cross-doc AND self-repetition occurrences, short/empty docs
+    emit nothing; removal stage strips exactly the covered tokens."""
+    from tegenaria_spark.operators.textdedup import (
+        duplicate_token_spans,
+        strip_duplicate_spans,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "xx alpha beta gamma delta epsilon zeta eta theta yy zz"),
+        (2, "unique words only here nothing repeated at all today friend"),
+        (4, "self self self self self self self self self self self self"),
+        (5, "short doc"),
+        (6, ""),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    spans = sorted(
+        (r["doc_id"], r["start_tok"], r["end_tok"], r["span_len"])
+        for r in duplicate_token_spans(docs, n=8, min_occ=2).collect()
+    )
+    # the shared 8 tokens "alpha..theta" sit at doc0 pos 0-7 and doc1
+    # pos 1-8 (exactly one duplicated window each); doc4's self-repeats
+    # cover the whole doc (5 identical windows merge to ONE maximal
+    # span); docs 2/5/6 emit nothing
+    assert spans == [(0, 0, 7, 8), (1, 1, 8, 8), (4, 0, 11, 12)]
+
+    clean = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in strip_duplicate_spans(docs, n=8, min_occ=2).collect()
+    }
+    assert clean[0] == (10, 8, "iota kappa")
+    assert clean[1] == (11, 8, "xx yy zz")  # order of survivors preserved
+    assert clean[2][1] == 0 and clean[2][2] == rows[2][1]
+    assert clean[4] == (12, 12, "")
+    assert clean[5] == (2, 0, "short doc")
+    assert clean[6] == (0, 0, "")
