@@ -51,7 +51,7 @@ def _spark_components(spark, n_nodes: int, edges: list[tuple[int, int]]) -> dict
     return {r.doc_id: r.component for r in out}
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=7, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.integers(min_value=1, max_value=40).flatmap(
         lambda n: st.tuples(

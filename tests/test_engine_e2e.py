@@ -11,7 +11,7 @@ from tegenaria_spark.plans.engine import CrawlEngine
 from tegenaria_spark.sources.store import LocalSnapshotStore
 from tegenaria_spark.sources.synth import SiteConfig, domain_budgets, robots_rules, seed_urls
 
-CFG = EngineConfig(shuffle_partitions=8, bloom_n=100_000, fetch_partitions=8)
+CFG = EngineConfig(shuffle_partitions=4, bloom_n=100_000, fetch_partitions=4)
 
 
 def _single_seed(site: SiteConfig, d: int, p: int) -> list[dict]:
@@ -119,13 +119,13 @@ def test_resume_from_snapshot(spark, tmp_store_dir):
     # derived dirs under the fixture dir so teardown removes them too
     store1 = LocalSnapshotStore(os.path.join(tmp_store_dir, "full"), spark)
     engine1 = CrawlEngine(spark, store1, site, CFG, budget_rows=domain_budgets(site, 8))
-    engine1.run(seeds, max_rounds=3)
+    engine1.run(seeds, max_rounds=2)
 
     store2 = LocalSnapshotStore(os.path.join(tmp_store_dir, "split"), spark)
     engine2 = CrawlEngine(spark, store2, site, CFG, budget_rows=domain_budgets(site, 8))
     engine2.run(seeds, max_rounds=1)  # "crash" after 1 round
     engine3 = CrawlEngine(spark, store2, site, CFG, budget_rows=domain_budgets(site, 8))
-    engine3.run(resume=True, max_rounds=2)
+    engine3.run(resume=True, max_rounds=1)
 
     def fetched_set(store):
         return {

@@ -15,7 +15,9 @@ from tegenaria_spark.sources.synth import SiteConfig, domain_budgets, robots_rul
 
 # fetch_partitions=8: the default (shuffle x salt = 32) means 32 tasks
 # per fetch stage for ~50-row test rounds — pure scheduler constant
-CFG = EngineConfig(shuffle_partitions=8, bloom_enabled=True, bloom_min_seen=50, fetch_partitions=8)
+# 4/4 partitions: ~3 s/engine-run cheaper than 8/8 at test scale
+# (pure scheduler constants; parity output is partition-invariant)
+CFG = EngineConfig(shuffle_partitions=4, bloom_enabled=True, bloom_min_seen=50, fetch_partitions=4)
 
 
 def test_spark_engine_matches_simulator(spark, tmp_store_dir):
@@ -128,7 +130,7 @@ def test_bloom_threshold_crossed_mid_crawl(spark, tmp_store_dir):
     budgets = domain_budgets(site, default_budget=6)
     # round 0 commits ~10 seed fps (< 30); discovered outlinks cross the
     # threshold within a round or two, activating the prefilter mid-crawl
-    cfg = EngineConfig(shuffle_partitions=8, bloom_enabled=True, bloom_min_seen=30, fetch_partitions=8)
+    cfg = EngineConfig(shuffle_partitions=4, bloom_enabled=True, bloom_min_seen=30, fetch_partitions=4)
 
     # threshold crossing happens by round ~2; a few post-crossing
     # rounds prove the prefilter routes nothing around the anti-join
