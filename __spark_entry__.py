@@ -364,6 +364,14 @@ def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_stats(_t(spark, sf_dir, "documents"))
 
 
+def _quality_rule_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher (Rae et al. 2021) + C4 (Raffel et al. 2020) rule filters,
+    # integer-exact, map-only
+    from tegenaria_spark.operators.textstats import quality_rule_flags
+
+    return quality_rule_flags(_t(spark, sf_dir, "documents"))
+
+
 def _text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tegenaria_spark.operators.textstats import lang_id
 
@@ -867,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "text_quality": _text_quality,
+        "quality_rule_flags": _quality_rule_flags,
         "text_lang_id": _text_lang_id,
         "text_token_counts": _text_token_counts,
         "text_repetition": _text_repetition,
@@ -1038,6 +1047,40 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "text_lang_id": f"SELECT doc_id, {lang_case} AS lang_guess FROM documents",
+        "quality_rule_flags": (
+            "WITH base AS ("
+            "  SELECT doc_id, lower(coalesce(text, '')) AS t, "
+            "         list_filter(string_split(lower(coalesce(text, '')), ' '), "
+            "                     w -> w <> '') AS ws FROM documents), "
+            "m AS ("
+            "  SELECT doc_id, t, CAST(len(ws) AS BIGINT) AS n_words, "
+            "    CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) "
+            "      AS sum_len, "
+            "    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) "
+            "      AS alpha_words, "
+            "    CAST(len(list_filter(ws, w -> w IN ('the','be','to','of','and','that',"
+            "'have','with'))) AS BIGINT) AS stop_hits, "
+            "    CAST(length(regexp_replace(t, '[^.!?]', '', 'g')) AS BIGINT) "
+            "      AS n_sentences "
+            "  FROM base) "
+            "SELECT doc_id, n_words, "
+            "  (n_words >= 50 AND n_words <= 100000) AS gopher_word_count_ok, "
+            "  (n_words > 0 AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words) "
+            "    AS gopher_mean_word_len_ok, "
+            "  (n_words > 0 AND 5 * alpha_words >= 4 * n_words) AS gopher_alpha_ratio_ok, "
+            "  (stop_hits >= 2) AS gopher_stopwords_ok, "
+            "  (NOT contains(t, '{')) AS c4_no_curly, "
+            "  (NOT contains(t, 'lorem ipsum')) AS c4_no_lorem, "
+            "  (NOT contains(t, 'javascript')) AS c4_no_javascript, "
+            "  (n_sentences >= 3) AS c4_sentences_ok, "
+            "  ((n_words >= 50 AND n_words <= 100000) "
+            "   AND (n_words > 0 AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words) "
+            "   AND (n_words > 0 AND 5 * alpha_words >= 4 * n_words) "
+            "   AND (stop_hits >= 2)) AS gopher_keep, "
+            "  ((NOT contains(t, '{')) AND (NOT contains(t, 'lorem ipsum')) "
+            "   AND (NOT contains(t, 'javascript')) AND (n_sentences >= 3)) AS c4_keep "
+            "FROM m"
+        ),
         "pipeline_quality_dedup": (
             "WITH q AS ("
             "  SELECT doc_id, text, length(text) AS n_chars, "

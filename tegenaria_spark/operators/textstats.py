@@ -197,3 +197,60 @@ def pii_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     for _, pat, repl in _PII_PATTERNS:
         red = F.regexp_replace(red, pat, repl)
     return docs.select(F.col(id_col).alias("doc_id"), *counts, red.alias("redacted"))
+
+
+def quality_rule_flags(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rule-based quality filters from the two canonical curation
+    recipes — Gopher (Rae et al. 2021, app. A1.1) and C4 (Raffel et
+    al. 2020, §2.2) — as per-document boolean flags plus a keep
+    decision per family.  All comparisons are integer (ratios are
+    cross-multiplied: mean word length in [3, 10] becomes
+    ``3·n ≤ Σlen ≤ 10·n``), so the DuckDB oracle agrees bit-for-bit.
+
+    Gopher flags: word count in [50, 100k]; mean word length in
+    [3, 10]; ≥ 80 % of words contain an alphabetic character;
+    ≥ 2 stop-word hits.  C4 flags: no ``{``; no ``lorem ipsum``; no
+    ``javascript``; ≥ 3 terminal-punctuation marks (sentence proxy).
+
+    Plan shape (100 TB): map-only — one projection over the corpus
+    scan, no shuffle, no UDF; every rule is a Catalyst expression
+    inside one whole-stage-codegen span.
+    """
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    ws = F.filter(F.split(t, " "), lambda w: w != "")
+    n_words = F.size(ws).cast("long")
+    sum_len = F.coalesce(
+        F.aggregate(ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)),
+        F.lit(0).cast("long"),
+    )
+    alpha_words = F.size(F.filter(ws, lambda w: w.rlike("[a-z]"))).cast("long")
+    stop_hits = F.size(
+        F.filter(ws, lambda w: w.isin("the", "be", "to", "of", "and", "that", "have", "with"))
+    ).cast("long")
+    n_sentences = F.regexp_count(t, F.lit("[.!?]")).cast("long")
+
+    g_wc = (n_words >= 50) & (n_words <= 100_000)
+    g_mwl = (n_words > 0) & (sum_len >= 3 * n_words) & (sum_len <= 10 * n_words)
+    g_alpha = (n_words > 0) & (5 * alpha_words >= 4 * n_words)
+    g_stop = stop_hits >= 2
+    c_curly = ~t.contains("{")
+    c_lorem = ~t.contains("lorem ipsum")
+    c_js = ~t.contains("javascript")
+    c_sent = n_sentences >= 3
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        g_wc.alias("gopher_word_count_ok"),
+        g_mwl.alias("gopher_mean_word_len_ok"),
+        g_alpha.alias("gopher_alpha_ratio_ok"),
+        g_stop.alias("gopher_stopwords_ok"),
+        c_curly.alias("c4_no_curly"),
+        c_lorem.alias("c4_no_lorem"),
+        c_js.alias("c4_no_javascript"),
+        c_sent.alias("c4_sentences_ok"),
+        (g_wc & g_mwl & g_alpha & g_stop).alias("gopher_keep"),
+        (c_curly & c_lorem & c_js & c_sent).alias("c4_keep"),
+    )

@@ -408,3 +408,32 @@ def test_duplicate_token_spans_hand_case(spark):
     assert clean[4] == (12, 12, "")
     assert clean[5] == (2, 0, "short doc")
     assert clean[6] == (0, 0, "")
+
+
+def test_quality_rule_flags_hand_cases(spark):
+    """Gopher/C4 rule boundaries: word-count bounds, mean-word-length
+    cross-multiplied bounds, alpha ratio, stopwords, and the C4
+    content flags, each exercised on a crafted doc."""
+    from tegenaria_spark.operators.textstats import quality_rule_flags
+
+    good = " ".join(["the"] * 2 + ["word"] * 48)  # 50 words, mwl ok, stops ok
+    rows = [
+        (0, good + ". Done. Yes? Go!"),  # everything passes, 4 sentence marks
+        (1, "short doc"),  # word count + stopwords fail
+        (2, " ".join(["ab"] * 60)),  # mean word length 2 < 3 fails
+        (3, " ".join(["1234"] * 30 + ["the", "the"] + ["word"] * 30)),  # alpha 30/62 < 80%
+        (4, good + " lorem ipsum { javascript"),  # all three C4 content flags fail
+        (5, None),  # NULL text: empty doc, nothing passes
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality_rule_flags(docs).collect()}
+
+    assert out[0]["gopher_keep"] and out[0]["c4_keep"]
+    assert not out[1]["gopher_word_count_ok"] and not out[1]["gopher_stopwords_ok"]
+    assert out[1]["gopher_mean_word_len_ok"]  # 5+3 chars over 2 words
+    assert not out[2]["gopher_mean_word_len_ok"]
+    assert not out[3]["gopher_alpha_ratio_ok"] and out[3]["gopher_word_count_ok"]
+    assert not out[4]["c4_no_lorem"] and not out[4]["c4_no_curly"]
+    assert not out[4]["c4_no_javascript"] and not out[4]["c4_keep"]
+    assert out[4]["gopher_keep"]  # C4 content flags don't affect gopher_keep
+    assert out[5]["n_words"] == 0 and not out[5]["gopher_keep"] and not out[5]["c4_keep"]
