@@ -227,6 +227,41 @@ def _a5_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _a5_cuckoo_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cuckoo-filter URL-seen gate (the north rule's "bloom/cuckoo"
+    # second half, operators/cuckoo.py): per-bucket executor-side
+    # cuckoo state over the seen set (doc_id < 400), cogroup verdicts,
+    # then exact correction of maybe-rows — so the output is EXACT
+    # membership and the oracle is plain SQL set membership.  fps are
+    # xxhash64(text): identical texts share a fingerprint, exactly the
+    # URL-seen semantics (2^-64 cross-text collision accepted, as for
+    # every fingerprint op in this repo).
+    from tegenaria_spark.operators.cuckoo import (
+        cuckoo_bucket_params,
+        cuckoo_delta_state,
+        cuckoo_fp_verdicts,
+        cuckoo_merge_state,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.xxhash64(F.coalesce(F.col("text"), F.lit(""))).alias("fp")
+    )
+    seen = docs.filter(F.col("doc_id") < 400).select("fp").distinct()
+    B = 8
+    fb = cuckoo_bucket_params(512, B)
+    state = cuckoo_merge_state(None, cuckoo_delta_state(seen, B, fb))
+    verd = cuckoo_fp_verdicts(docs, state, B, fb)
+    # exact correction: cuckoo "definitely new" is final (no false
+    # negatives); "maybe" rows confirm against the seen table
+    confirmed = (
+        verd.filter(F.col("_maybe")).join(seen, "fp", "left_semi").withColumn("_seen", F.lit(True))
+    )
+    return (
+        docs.join(confirmed.select("fp", "_seen"), "fp", "left")
+        .select("doc_id", F.coalesce("_seen", F.lit(False)).alias("seen_exact"))
+    )
+
+
 def _m1_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # M1/M2 middleware chain shape: ordered column transforms
     lineitem = _t(spark, sf_dir, "lineitem")
@@ -859,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_sessionize": _q5_sessionize,
         "q8_backpressure_topk": _q8_backpressure_topk,
         "a5_dedup_rate": _a5_dedup_rate,
+        "a5_cuckoo_dedup_gate": _a5_cuckoo_dedup_gate,
         "a1_metrics_counts": _a1_metrics_counts,
         "a3_count_over_time": _a3_count_over_time,
         "a3_stream_windowed_counts": _a3_stream_windowed_counts,
@@ -964,6 +1000,11 @@ def oracle_sql() -> dict[str, str]:
         "a5_dedup_rate": (
             "SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct, "
             "       count(DISTINCT lang) AS n_langs FROM documents GROUP BY source"
+        ),
+        "a5_cuckoo_dedup_gate": (
+            "SELECT doc_id, coalesce(text, '') IN "
+            "  (SELECT coalesce(text, '') FROM documents WHERE doc_id < 400) "
+            "  AS seen_exact FROM documents"
         ),
         "a1_metrics_counts": (
             "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
