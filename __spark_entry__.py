@@ -182,6 +182,20 @@ def _a3_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_windowed_counts(spark, f"{sf_dir}/events.parquet")
 
 
+def _a1_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A1's custom-stateful rendering: per-event-type running totals as
+    # explicit GroupState (applyInPandasWithState) over the events
+    # stream — the arbitrary-python-state surface the built-in streaming
+    # aggregations can't express (streaming/stateful.py).  Settled
+    # totals must equal the batch group count regardless of micro-batch
+    # split, so the oracle is plain SQL.
+    from tegenaria_spark.streaming.stateful import stream_running_counts_drained
+
+    return stream_running_counts_drained(
+        spark, f"{sf_dir}/events.parquet", "event_type"
+    )
+
+
 def _a6_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A6 seen-set union
     events = _t(spark, sf_dir, "events").select(F.col("user_id").alias("key"))
@@ -898,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_metrics_counts": _a1_metrics_counts,
         "a3_count_over_time": _a3_count_over_time,
         "a3_stream_windowed_counts": _a3_stream_windowed_counts,
+        "a1_stream_stateful_counts": _a1_stream_stateful_counts,
         "a6_union_distinct": _a6_union_distinct,
         "a8_outcome_rollup": _a8_outcome_rollup,
         "m1_transform_chain": _m1_transform_chain,
@@ -1008,6 +1023,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "a1_metrics_counts": (
             "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+        ),
+        "a1_stream_stateful_counts": (
+            "SELECT event_type AS key, count(*) AS n FROM events GROUP BY event_type"
         ),
         "a3_count_over_time": (
             "SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n "

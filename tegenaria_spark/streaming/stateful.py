@@ -81,3 +81,25 @@ def final_counts(spark: SparkSession, query_name: str) -> DataFrame:
         .groupBy("key")
         .agg(F.max("n").alias("n"))
     )
+
+
+def stream_running_counts_drained(
+    spark: SparkSession, path: str, key_col: str
+) -> DataFrame:
+    """Self-contained drain of :func:`stream_running_counts`: fresh
+    tmpfs checkpoint, ``availableNow`` drain, settled per-key totals —
+    the GroupState path's driver-contract surface (its totals must
+    equal the batch ``groupBy(key).count()``, whatever micro-batch
+    split the file source chose)."""
+    import os
+    import tempfile
+    import uuid
+
+    name = f"src_{uuid.uuid4().hex[:8]}"
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    with tempfile.TemporaryDirectory(prefix="src-ckpt-", dir=ckpt_base) as ckpt:
+        q = stream_running_counts(spark, path, key_col, ckpt, query_name=name)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("stateful stream did not drain within 600 s")
+    return final_counts(spark, name)
