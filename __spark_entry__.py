@@ -276,6 +276,43 @@ def _a5_cuckoo_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _robots_txt_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # robots.txt TEXT → distributed gate (functions/robots.py): parse
+    # per-domain robots text (RFC 9309 group selection for the image
+    # crawler agent) and decide every (domain, path) with wildcard-
+    # capable longest-match — cogrouped per domain via applyInPandas,
+    # patterns compiled once per batch.  Twin: an independent parser +
+    # matcher in oracle_twins.expected_robots_gate.
+    import pandas as pd  # noqa: F401
+
+    from tegenaria_spark.functions.robots import parse_robots_txt, robots_gate_pandas
+    from tegenaria_spark.oracle_twins import expected_robots_gate
+    from tegenaria_spark.sources.synth import ROBOTS_GATE_PATHS, robots_txt_corpus
+
+    _ensure_fixture("robots_txt_gate", sf_dir, expected_robots_gate)
+    agent = "tegenaria-image/1.0"
+    rows = [
+        (domain, txt, path)
+        for domain, txt in sorted(robots_txt_corpus().items())
+        for path in ROBOTS_GATE_PATHS
+    ]
+    df = spark.createDataFrame(rows, "domain string, txt string, path string")
+
+    def gate(key, pdf):
+        rules = parse_robots_txt(pdf["txt"].iloc[0], agent)["rules"]
+        return pd.DataFrame(
+            {
+                "domain": pdf["domain"],
+                "path": pdf["path"],
+                "allowed": robots_gate_pandas(pdf["path"], rules),
+            }
+        )
+
+    return df.groupBy("domain").applyInPandas(
+        gate, "domain string, path string, allowed boolean"
+    )
+
+
 def _m1_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # M1/M2 middleware chain shape: ordered column transforms
     lineitem = _t(spark, sf_dir, "lineitem")
@@ -938,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_ivf": _ann_cosine_topk_ivf,
         "embedding_neardup": _embedding_neardup,
         "crawl_fingerprints": _crawl_fingerprints,
+        "robots_txt_gate": _robots_txt_gate,
         "crawl_round_schedule": _crawl_round_schedule,
         "multimodal_features": _multimodal_features,
         "multimodal_phash_neardup": _multimodal_phash_neardup,
@@ -1275,6 +1313,10 @@ def oracle_sql() -> dict[str, str]:
         "crawl_fingerprints": (
             "SELECT ctx_id, canon_url, domain, fp "
             f"FROM read_parquet('{_fixture_path('crawl_fingerprints')}')"
+        ),
+        "robots_txt_gate": (
+            "SELECT domain, path, allowed "
+            f"FROM read_parquet('{_fixture_path('robots_txt_gate')}')"
         ),
         "crawl_round_schedule": (
             "SELECT ctx_id, domain, outcome "

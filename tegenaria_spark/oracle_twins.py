@@ -623,3 +623,72 @@ def expected_crawl_resume(n_seeds: int = 10) -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["kind", "round", "seq", "url", "outcome", "fp"]
     ).astype({"round": "int32", "seq": "int64", "fp": "int64"})
+
+
+def expected_robots_gate(agent: str = "tegenaria-image/1.0") -> pd.DataFrame:
+    """Twin of the robots_txt_gate query: an INDEPENDENT robots.txt
+    parser + RFC 9309 longest-match matcher over the shared synthetic
+    corpus — re-derived here without importing functions/robots.py
+    (a shared-helper bug must fail the gate, not pass it twice).
+    """
+    import re as _re
+
+    from tegenaria_spark.sources.synth import ROBOTS_GATE_PATHS, robots_txt_corpus
+
+    def parse(txt: str):
+        # group accumulation as (agents, rules) passes — deliberately a
+        # different construction from the operator's single-pass flush
+        groups = []
+        agents, rules, pending_agents = [], [], True
+        for line in txt.splitlines():
+            body = line.split("#", 1)[0].strip()
+            if not body or ":" not in body:
+                continue
+            field, _, val = body.partition(":")
+            field, val = field.strip().lower(), val.strip()
+            if field == "user-agent":
+                if not pending_agents:
+                    groups.append((agents, rules))
+                    agents, rules = [], []
+                    pending_agents = True
+                agents.append(val.lower())
+            elif field in ("allow", "disallow", "crawl-delay") and agents:
+                pending_agents = False
+                if field == "disallow" and val == "":
+                    rules.append(("", True))
+                elif field == "allow" or field == "disallow":
+                    if val:
+                        rules.append((val, field == "allow"))
+        if agents:
+            groups.append((agents, rules))
+        # most specific agent token wins; '*' is the fallback
+        best_spec, best_rules = None, []
+        for ags, rls in groups:
+            for a in ags:
+                spec = 0 if a == "*" else (len(a) if a and a in agent.lower() else None)
+                if spec is None:
+                    continue
+                if best_spec is None or spec > best_spec:
+                    best_spec, best_rules = spec, rls
+        return best_rules
+
+    def allowed(rules, path):
+        verdict, best = True, -1
+        for pat, allow in rules:
+            if pat == "":
+                ok, spec = True, 0
+            else:
+                tail = "$" if pat.endswith("$") else ""
+                core = pat[:-1] if tail else pat
+                rx = "^" + ".*".join(_re.escape(seg) for seg in core.split("*")) + tail
+                ok, spec = _re.match(rx, path) is not None, len(pat)
+            if ok and (spec > best or (spec == best and allow and not verdict)):
+                best, verdict = spec, allow
+        return verdict
+
+    rows = []
+    for domain, txt in sorted(robots_txt_corpus().items()):
+        rules = parse(txt)
+        for path in ROBOTS_GATE_PATHS:
+            rows.append((domain, path, allowed(rules, path)))
+    return pd.DataFrame(rows, columns=["domain", "path", "allowed"])

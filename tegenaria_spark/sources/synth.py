@@ -460,3 +460,58 @@ def captioned_phash_testset(
     image+caption shape.  Shared INPUT for the caption-dedup query and
     its python twin."""
     return [(i, b, caption_for(i)) for i, b in phash_testset(n_base, n_dup, cfg)]
+
+
+ROBOTS_GATE_PATHS = [
+    "/", "/index.html", "/fish", "/fish.html", "/fish/", "/fish/salmon.html",
+    "/fishheads/yummy.html", "/Fish.asp", "/catfish", "/peix",
+    "/admin/", "/admin/help", "/admin/secret/key", "/private", "/private/public/x",
+    "/public/doc.html", "/page", "/x/page.htm", "/filename.php",
+    "/filename.php/", "/a/b/c", "/img/banner.png", "/teg/only", "/all/zone",
+    "/search", "/search/results", "/static/app.js", "/downloads/file.zip",
+]
+
+
+def robots_txt_corpus(n_domains: int = 20) -> dict[str, str]:
+    """Deterministic per-domain robots.txt TEXT corpus cycling the
+    idioms a real crawl meets: overlapping prefix Allow/Disallow,
+    wildcard + $-anchored patterns, multi-agent groups with
+    crawl-delay, disallow-all with a carve-out, the empty-Disallow
+    allow-all idiom, and comment noise.  Shared INPUT for the
+    robots_txt_gate query and its independent twin."""
+    out: dict[str, str] = {}
+    for d in range(n_domains):
+        kind = d % 5
+        if kind == 0:
+            txt = (
+                "# standard prefix rules\n"
+                "User-agent: *\n"
+                "Disallow: /admin/\n"
+                "Allow: /admin/help\n"
+                "Disallow: /private\n"
+                "Allow: /private/public\n"
+            )
+        elif kind == 1:
+            txt = (
+                "User-agent: *\n"
+                "Disallow: /fish*\n"
+                "Allow: /fish/salmon.html\n"
+                f"Disallow: /*.php$\n"
+            )
+        elif kind == 2:
+            txt = (
+                "User-agent: *\nDisallow: /all/\n\n"
+                "User-agent: tegenaria\nDisallow: /teg/\nCrawl-delay: 1.5\n\n"
+                "User-agent: tegenaria-image\nDisallow: /img/\n"
+            )
+        elif kind == 3:
+            txt = (
+                "User-agent: *\n"
+                "Disallow: /\n"
+                "Allow: /public/\n"
+                f"Allow: /static/\n"
+            )
+        else:
+            txt = "# nothing blocked here\nUser-agent: *\nDisallow:\n"
+        out[f"d{d:02d}.example"] = txt
+    return out

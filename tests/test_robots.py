@@ -1,0 +1,136 @@
+"""robots.txt parsing/matching: stdlib-oracle agreement on
+wildcard-free files, Google-documented wildcard cases, group
+selection, engine-schema lowering, and the vectorized pandas gate."""
+
+from __future__ import annotations
+
+import urllib.robotparser
+
+import pandas as pd
+
+from tegenaria_spark.functions.robots import (
+    parse_robots_txt,
+    robots_allowed,
+    robots_gate_pandas,
+    robots_rows_from_txt,
+)
+
+PATHS = [
+    "/", "/fish", "/fish.html", "/fish/salmon.html", "/fishheads/yummy.html",
+    "/Fish.asp", "/catfish", "/peix", "/fish/", "/animals/fish/",
+    "/fish.php?id=anything", "/folder/page", "/folder/other", "/page",
+    "/page/index.html", "/x/page.htm", "/admin/", "/admin/secret",
+    "/public/doc.html", "/private", "/private/", "/p", "/filename.php",
+    "/filename.php?parameters", "/filename.php/", "/a/b/c",
+]
+
+
+def _stdlib_allowed(txt: str, agent: str, path: str) -> bool:
+    rp = urllib.robotparser.RobotFileParser()
+    rp.parse(txt.splitlines())
+    return rp.can_fetch(agent, path)
+
+
+def test_wildcard_free_files_agree_with_stdlib():
+    """Independent-oracle check: on files whose rules DON'T overlap,
+    first-match (urllib.robotparser's legacy semantics) and RFC 9309
+    longest-match (ours — what Google documents) decide identically,
+    so the stdlib is a valid oracle for the parse + prefix-match core.
+    Overlapping-rule precedence, where the two standards genuinely
+    diverge, is asserted in test_rfc_longest_match_precedence."""
+    files = [
+        "User-agent: *\nDisallow: /admin/\nDisallow: /private\n",
+        "User-agent: *\nDisallow:\n",  # empty Disallow = allow all
+        "# comments only\nUser-agent: *\nDisallow: /folder/  # trailing\n",
+        "User-agent: *\nDisallow: /fish\nDisallow: /page\nDisallow: /a/b/\n",
+        "",
+    ]
+    for txt in files:
+        rules = parse_robots_txt(txt, "tegenaria")["rules"]
+        for path in PATHS:
+            assert robots_allowed(rules, path) == _stdlib_allowed(
+                txt, "tegenaria", path
+            ), (txt, path)
+
+
+def test_rfc_longest_match_precedence():
+    """Where first-match and longest-match disagree, we follow RFC 9309
+    (Google semantics): the MOST SPECIFIC rule decides, not the first."""
+    rules = parse_robots_txt("User-agent: *\nDisallow: /\nAllow: /public/\n")["rules"]
+    assert robots_allowed(rules, "/public/doc.html")  # Allow len 8 beats /
+    assert not robots_allowed(rules, "/private")
+    rules = parse_robots_txt("User-agent: *\nAllow: /fish\nDisallow: /fish/\n")["rules"]
+    assert robots_allowed(rules, "/fish")  # only /fish matches
+    assert not robots_allowed(rules, "/fish/salmon.html")  # /fish/ longer
+    rules = parse_robots_txt(
+        "User-agent: *\nDisallow: /private\nAllow: /private/public\n"
+    )["rules"]
+    assert robots_allowed(rules, "/private/public/x")
+    assert not robots_allowed(rules, "/private/secret")
+
+
+def test_google_documented_wildcard_cases():
+    """The worked examples from Google's robots.txt documentation
+    (also RFC 9309 §2.2.2/§5 illustrations)."""
+    rules = parse_robots_txt("User-agent: *\nDisallow: /fish*\n")["rules"]
+    assert not robots_allowed(rules, "/fish")
+    assert not robots_allowed(rules, "/fish.html")
+    assert not robots_allowed(rules, "/fishheads/yummy.html")
+    assert robots_allowed(rules, "/Fish.asp")  # matching is case-sensitive
+    assert robots_allowed(rules, "/peix")
+
+    rules = parse_robots_txt("User-agent: *\nDisallow: /*.php$\n")["rules"]
+    assert not robots_allowed(rules, "/filename.php")
+    assert not robots_allowed(rules, "/folder/filename.php")
+    assert robots_allowed(rules, "/filename.php?parameters")
+    assert robots_allowed(rules, "/filename.php/")
+
+    # longest match wins; equal length => allow wins
+    rules = parse_robots_txt("User-agent: *\nAllow: /page\nDisallow: /*.htm\n")["rules"]
+    assert robots_allowed(rules, "/page")
+    assert not robots_allowed(rules, "/x/page.htm")
+    rules = parse_robots_txt("User-agent: *\nAllow: /folder\nDisallow: /folder\n")["rules"]
+    assert robots_allowed(rules, "/folder/page")
+
+
+def test_group_selection_most_specific_agent():
+    txt = (
+        "User-agent: *\nDisallow: /all/\n\n"
+        "User-agent: tegenaria\nDisallow: /teg/\n\n"
+        "User-agent: tegenaria-image\nDisallow: /img/\nCrawl-delay: 2.5\n"
+    )
+    g = parse_robots_txt(txt, "tegenaria-image/1.0")
+    assert g["agent_matched"] == "tegenaria-image"
+    assert g["crawl_delay"] == 2.5
+    assert ("/img/", False) in g["rules"] and ("/teg/", False) not in g["rules"]
+    g2 = parse_robots_txt(txt, "tegenaria/1.0")
+    assert g2["agent_matched"] == "tegenaria"
+    g3 = parse_robots_txt(txt, "otherbot")
+    assert g3["agent_matched"] == "*" and g3["rules"] == [("/all/", False)]
+    # shared group: two agent lines, one rule set
+    shared = parse_robots_txt("User-agent: a\nUser-agent: b\nDisallow: /x/\n", "b")
+    assert shared["rules"] == [("/x/", False)]
+
+
+def test_lowering_to_engine_rows_and_residual():
+    rows, residual = robots_rows_from_txt(
+        {
+            "d0.example": "User-agent: *\nDisallow: /admin/\nAllow: /admin/help\n",
+            "d1.example": "User-agent: *\nDisallow: /*.php$\n",
+        }
+    )
+    assert {(r["domain"], r["path_prefix"], r["allow"]) for r in rows} == {
+        ("d0.example", "/admin/", False),
+        ("d0.example", "/admin/help", True),
+    }
+    assert residual == [("d1.example", "/*.php$", False)]
+
+
+def test_pandas_gate_matches_scalar():
+    txt = "User-agent: *\nDisallow: /fish*\nAllow: /fish/safe$\nDisallow: /admin/\n"
+    rules = parse_robots_txt(txt)["rules"]
+    s = pd.Series(PATHS + ["/fish/safe", None])
+    got = robots_gate_pandas(s, rules)
+    want = [robots_allowed(rules, p if p is not None else "/") for p in s]
+    assert list(got) == want
+    assert bool(got.iloc[-2])  # the $-anchored Allow fires
