@@ -64,8 +64,12 @@ def robots_gate(ready: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFra
         (F.col("domain") == F.col("_r_domain")) & F.col("_path").startswith(F.col("_r_prefix")),
         "left",
     )
-    # longest matching prefix wins; no match ⇒ allow
-    w = Window.partitionBy("ctx_id", "enqueue_seq").orderBy(F.length("_r_prefix").desc())
+    # longest matching prefix wins; equal-length Allow beats Disallow
+    # (RFC 9309 §2.2.2 — also makes the row_number pick deterministic);
+    # no match ⇒ allow
+    w = Window.partitionBy("ctx_id", "enqueue_seq").orderBy(
+        F.length("_r_prefix").desc(), F.col("_r_allow").desc()
+    )
     decided = (
         joined.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -403,13 +403,23 @@ def expected_crawl_round_schedule(
         else:
             fresh.append(s)
 
-    # robots: longest matching prefix wins, default allow
+    # robots: longest matching prefix wins, equal-length Allow beats
+    # Disallow (RFC 9309 tie rule, mirrored by schedule.robots_gate and
+    # the simulator), default allow
     def allowed(s) -> bool:
         path = urlsplit(s["canon_url"]).path or "/"
         best = None
         for rule in robots:
             if rule["domain"] == s["domain"] and path.startswith(rule["path_prefix"]):
-                if best is None or len(rule["path_prefix"]) > len(best["path_prefix"]):
+                if (
+                    best is None
+                    or len(rule["path_prefix"]) > len(best["path_prefix"])
+                    or (
+                        len(rule["path_prefix"]) == len(best["path_prefix"])
+                        and rule["allow"]
+                        and not best["allow"]
+                    )
+                ):
                     best = rule
         return True if best is None else bool(best["allow"])
 

@@ -65,7 +65,15 @@ def _robots_allowed(canon_url: str, domain: str, robots: list[dict]) -> bool:
     best: Optional[dict] = None
     for rule in robots:
         if rule["domain"] == domain and path.startswith(rule["path_prefix"]):
-            if best is None or len(rule["path_prefix"]) > len(best["path_prefix"]):
+            if (
+                best is None
+                or len(rule["path_prefix"]) > len(best["path_prefix"])
+                or (
+                    len(rule["path_prefix"]) == len(best["path_prefix"])
+                    and rule["allow"]
+                    and not best["allow"]
+                )
+            ):
                 best = rule
     return True if best is None else bool(best["allow"])
 

@@ -134,3 +134,50 @@ def test_pandas_gate_matches_scalar():
     want = [robots_allowed(rules, p if p is not None else "/") for p in s]
     assert list(got) == want
     assert bool(got.iloc[-2])  # the $-anchored Allow fires
+
+
+def test_lowered_rows_drive_engine_gate_identically(spark):
+    """robots.txt → robots_rows_from_txt → the ENGINE's broadcast
+    prefix gate (schedule.robots_gate) decides exactly like the RFC
+    matcher on wildcard-free files — including the equal-length
+    Allow/Disallow tie, which the gate now breaks toward Allow
+    deterministically (RFC 9309 §2.2.2)."""
+    from tegenaria_spark.operators.schedule import robots_gate
+    from tegenaria_spark.schemas import ROBOTS_SCHEMA
+
+    txts = {
+        "d0.io": (
+            "User-agent: *\nDisallow: /admin/\nAllow: /admin/help\n"
+            "Disallow: /private\nAllow: /private/public\n"
+        ),
+        # equal-length conflicting pair: Allow must win the tie
+        "d1.io": "User-agent: *\nAllow: /folder\nDisallow: /folder\n",
+        "d2.io": "User-agent: *\nDisallow:\n",
+    }
+    rows, residual = robots_rows_from_txt(txts)
+    assert residual == []
+    robots = spark.createDataFrame(
+        [(r["domain"], r["path_prefix"], r["allow"]) for r in rows], ROBOTS_SCHEMA
+    )
+
+    paths = ["/", "/admin/", "/admin/help/x", "/private/public/y", "/private/z",
+             "/folder/page", "/folder", "/else"]
+    frontier_rows = []
+    i = 0
+    for domain in txts:
+        for p in paths:
+            frontier_rows.append((f"c{i}", f"http://{domain}{p}?", domain, 0, i, None))
+            i += 1
+    frontier = spark.createDataFrame(
+        frontier_rows,
+        "ctx_id string, canon_url string, domain string, priority int, "
+        "enqueue_seq bigint, next_fetch_time timestamp",
+    )
+    allowed, blocked = robots_gate(frontier, robots)
+    got = {r["ctx_id"]: True for r in allowed.collect()}
+    got.update({r["ctx_id"]: False for r in blocked.collect()})
+
+    for row in frontier_rows:
+        ctx, domain, path = row[0], row[2], row[1].split(domain := row[2], 1)[1].rstrip("?")
+        rules = parse_robots_txt(txts[domain])["rules"]
+        assert got[ctx] == robots_allowed(rules, path or "/"), (domain, path)
