@@ -626,23 +626,20 @@ def strip_duplicate_spans(
     clean_text)`` for every document (docs with no duplicated span
     pass through with ``n_removed = 0``).
 
-    Plan shape (100 TB): duplicated-window positions expand to covered
-    token positions via ``explode(sequence(pos, pos+n-1))`` + distinct
-    — volume bounded by n × duplicated windows.  The survivors join is
-    a single shuffle on (doc_id) after both sides are keyed by
-    (doc_id, pos); reassembly sorts each doc's surviving tokens with
-    ``array_sort`` over the collected (pos, tok) structs — per-doc
-    state only, no global sort.
+    Plan shape (100 TB): the corpus is NEVER exploded into token rows
+    for the removal — only the gram stream is (for the count window,
+    as in the span stage).  Duplicated-window positions expand to
+    covered token positions (``explode(sequence)`` + distinct, volume
+    bounded by n × duplicated windows), collapse back to ONE sorted
+    array per document, and join the corpus on doc_id — a
+    dimension-per-doc join, not a token-stream shuffle.  Removal is
+    then row-local Catalyst array work: an indexed ``filter`` lambda
+    against the covered set (cost O(tokens × |covered|) per doc —
+    quadratic only for a fully-duplicated doc, where the span stage
+    already marks everything).
     """
     from tegenaria_spark.operators.curation import word_ngrams_col
 
-    toks_arr = F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
-        lambda w: w != "",
-    )
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(toks_arr).alias("pos", "tok")
-    )
     grams = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(word_ngrams_col(text_col, n)).alias("pos", "g"),
@@ -655,38 +652,24 @@ def strip_duplicate_spans(
             F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("pos"),
         )
         .distinct()
-        .withColumn("covered", F.lit(True))
-    )
-    kept = (
-        toks.join(covered, ["doc_id", "pos"], "left")
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum(F.col("covered").isNotNull().cast("long")).alias("n_removed"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("covered").isNull(),
-                                F.struct(F.col("pos"), F.col("tok")),
-                            )
-                        )
-                    ),
-                    lambda s: s.tok,
-                ),
-                " ",
-            ).alias("clean_text"),
-        )
+        .agg(F.array_sort(F.collect_set("pos")).alias("cov"))
     )
-    # zero-token docs have no exploded rows — restore via left join
+    toks_arr = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda w: w != "",
+    )
+    empty_cov = F.expr("cast(array() as array<int>)")
     return (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(kept, "doc_id", "left")
+        docs.select(F.col(id_col).alias("doc_id"), toks_arr.alias("ws"))
+        .join(covered, "doc_id", "left")
+        .withColumn("cov", F.coalesce("cov", empty_cov))
         .select(
             "doc_id",
-            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.size("ws").cast("long").alias("n_tokens"),
+            F.size("cov").cast("long").alias("n_removed"),
+            F.array_join(
+                F.filter("ws", lambda w, i: ~F.array_contains("cov", i)), " "
+            ).alias("clean_text"),
         )
     )
