@@ -45,7 +45,7 @@ _FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixture
 
 # bump when twin semantics change (forces fixture regeneration even at
 # an already-stamped sf_dir)
-_FIXTURE_VERSION = 4
+_FIXTURE_VERSION = 5
 
 
 def _fixture_path(key: str) -> str:

@@ -160,6 +160,7 @@ class _NoiseProbe:
         self.loadavg_max = 0.0
         self.busy_cores = -1.0
         self.steal_cores = -1.0
+        self.started = False
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._sample, daemon=True)
 
@@ -172,6 +173,7 @@ class _NoiseProbe:
                 pass
 
     def start(self):
+        self.started = True
         self._t0, self._i0, self._s0 = _stat_jiffies()
         try:
             with open("/proc/loadavg") as fh:
@@ -182,6 +184,11 @@ class _NoiseProbe:
 
     def stop(self) -> None:
         self._stop.set()
+        if not self.started:
+            # never fired (crawl drained during warm-up): leave the
+            # -1 sentinels — computing from _t0=0 would read since-boot
+            # jiffies and certify a bogus window (r4 ADVICE)
+            return
         t1, i1, s1 = _stat_jiffies()
         dt, di = t1 - self._t0, i1 - self._i0
         if dt > 0:
@@ -424,6 +431,14 @@ def run_crawl(master: str, cpus: int) -> dict:
         bw_post = _triad_gbps()
         warm_slice = summary_all.rounds[:warmup_rounds]
         meas = summary_all.rounds[warmup_rounds:]
+        if not meas:
+            # the crawl drained inside warm-up: no measured window
+            # exists — fail the level explicitly instead of dividing by
+            # zero below (r4 ADVICE); the site must be sized up
+            raise RuntimeError(
+                f"crawl drained during warm-up ({len(summary_all.rounds)} "
+                f"rounds < warmup {warmup_rounds}+1): enlarge the site/seeds"
+            )
         warmup_wall = sum(r.wall_s for r in warm_slice)
         rounds_wall = sum(r.wall_s for r in meas)
         fetched = sum(r.n_fetched for r in meas)

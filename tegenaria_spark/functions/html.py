@@ -159,8 +159,9 @@ def select(root: Node, selector: str) -> list[Node]:
     if len(parts) > 1:
         out: list[Node] = []
         seen2: set[int] = set()
+        matched_ids = {id(x) for x in matched}  # hoisted: O(n+m), not O(n·m)
         for el in root.iter_elements():
-            if id(el) in {id(x) for x in matched} and id(el) not in seen2:
+            if id(el) in matched_ids and id(el) not in seen2:
                 seen2.add(id(el))
                 out.append(el)
         return out

@@ -88,20 +88,37 @@ def parse_robots_txt(txt: str, agent: str = "tegenaria") -> dict:
                 pass
     flush()
 
-    best: Optional[tuple[int, list[tuple[str, bool]], Optional[float], str]] = None
+    # RFC 9309 §2.2.1: groups matched by the same (most-specific) agent
+    # token MERGE — real-world files routinely split one agent's rules
+    # across several `User-agent: *` blocks, and keeping only the first
+    # max-spec group silently drops the later rules (r4 ADVICE, medium).
+    def _spec(a: str) -> Optional[int]:
+        if a == "*":
+            return 0
+        return len(a) if a and a in agent_l else None
+
+    per_group: list[tuple[int, str, list[tuple[str, bool]], Optional[float]]] = []
     for agents, rules, delay in groups:
-        for a in agents:
-            if a == "*":
-                spec = 0
-            elif a and a in agent_l:
-                spec = len(a)
-            else:
-                continue
-            if best is None or spec > best[0]:
-                best = (spec, rules, delay, a)
-    if best is None:
+        matches = [(s, a) for a in agents if (s := _spec(a)) is not None]
+        if matches:
+            s, a = max(matches)
+            per_group.append((s, a, rules, delay))
+    if not per_group:
         return {"rules": [], "crawl_delay": None, "agent_matched": None}
-    return {"rules": best[1], "crawl_delay": best[2], "agent_matched": best[3]}
+    best_spec = max(s for s, _a, _r, _d in per_group)
+    merged_rules: list[tuple[str, bool]] = []
+    merged_delay: Optional[float] = None
+    matched: Optional[str] = None
+    for s, a, rules, delay in per_group:
+        if s != best_spec:
+            continue
+        merged_rules.extend(rules)
+        if delay is not None:
+            # most-conservative politeness when groups disagree
+            merged_delay = delay if merged_delay is None else max(merged_delay, delay)
+        if matched is None:
+            matched = a
+    return {"rules": merged_rules, "crawl_delay": merged_delay, "agent_matched": matched}
 
 
 def _pattern_regex(pattern: str) -> re.Pattern:

@@ -219,7 +219,15 @@ class CuckooFilter:
     def merge(self, other: "CuckooFilter") -> None:
         """Fold another filter's stored (index, tag) pairs in —
         partial-key hashing makes re-insertion key-free."""
-        assert other.nbuckets == self.nbuckets
+        if other.nbuckets != self.nbuckets:
+            # a bare assert vanishes under python -O and mismatched
+            # tables would merge with wrong bucket indices, silently
+            # corrupting membership (r4 ADVICE)
+            raise ValueError(
+                f"cuckoo merge: nbuckets mismatch ({other.nbuckets} != "
+                f"{self.nbuckets}) — state rows built with a different "
+                "filter_buckets cannot fold together"
+            )
         idxs, slots = np.nonzero(other.tags)
         for idx, slot in zip(idxs, slots):
             self._insert_tagged(int(idx), int(other.tags[idx, slot]))

@@ -56,7 +56,19 @@ def hash_sample_vectors(
     (functions/xxh64.py matches ``F.xxhash64`` bit-for-bit).
 
     Returns the collected Rows (id, vec) sorted by id, length ≤
-    sample_size."""
+    sample_size.
+
+    Contract: *id_col* must be an integral column — a non-numeric id
+    would cast to NULL for every row, collapsing all rows into one hash
+    bucket so the filter keeps everything or nothing (r4 ADVICE)."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    dt = vectors.schema[id_col].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"hash_sample_vectors: id column {id_col!r} must be integral "
+            f"(got {dt.simpleString()}) — hash a numeric surrogate id instead"
+        )
     n = vectors.count()
     if n == 0:
         return []

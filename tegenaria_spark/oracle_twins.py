@@ -671,16 +671,20 @@ def expected_robots_gate(agent: str = "tegenaria-image/1.0") -> pd.DataFrame:
                         rules.append((val, field == "allow"))
         if agents:
             groups.append((agents, rules))
-        # most specific agent token wins; '*' is the fallback
-        best_spec, best_rules = None, []
+        # most specific agent token wins; '*' is the fallback; ALL
+        # groups at the winning specificity merge (RFC 9309 §2.2.1) —
+        # computed here as a dict keyed by spec, a different shape from
+        # the operator's single best-spec scan
+        by_spec: dict[int, list] = {}
         for ags, rls in groups:
-            for a in ags:
-                spec = 0 if a == "*" else (len(a) if a and a in agent.lower() else None)
-                if spec is None:
-                    continue
-                if best_spec is None or spec > best_spec:
-                    best_spec, best_rules = spec, rls
-        return best_rules
+            specs = [
+                0 if a == "*" else (len(a) if a and a in agent.lower() else None)
+                for a in ags
+            ]
+            specs = [s for s in specs if s is not None]
+            if specs:
+                by_spec.setdefault(max(specs), []).extend(rls)
+        return by_spec[max(by_spec)] if by_spec else []
 
     def allowed(rules, path):
         verdict, best = True, -1

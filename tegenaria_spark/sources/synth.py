@@ -469,6 +469,7 @@ ROBOTS_GATE_PATHS = [
     "/public/doc.html", "/page", "/x/page.htm", "/filename.php",
     "/filename.php/", "/a/b/c", "/img/banner.png", "/teg/only", "/all/zone",
     "/search", "/search/results", "/static/app.js", "/downloads/file.zip",
+    "/b/ok.html", "/b/other",
 ]
 
 
@@ -481,7 +482,7 @@ def robots_txt_corpus(n_domains: int = 20) -> dict[str, str]:
     robots_txt_gate query and its independent twin."""
     out: dict[str, str] = {}
     for d in range(n_domains):
-        kind = d % 5
+        kind = d % 6
         if kind == 0:
             txt = (
                 "# standard prefix rules\n"
@@ -511,7 +512,16 @@ def robots_txt_corpus(n_domains: int = 20) -> dict[str, str]:
                 "Allow: /public/\n"
                 f"Allow: /static/\n"
             )
-        else:
+        elif kind == 4:
             txt = "# nothing blocked here\nUser-agent: *\nDisallow:\n"
+        else:
+            # split same-agent groups: RFC 9309 §2.2.1 merges rules
+            # across every group the winning token matches — a parser
+            # that keeps only the first `*` group under-blocks /b/
+            txt = (
+                "User-agent: *\nDisallow: /a/\n\n"
+                "User-agent: other-bot\nDisallow: /\n\n"
+                "User-agent: *\nDisallow: /b/\nAllow: /b/ok\n"
+            )
         out[f"d{d:02d}.example"] = txt
     return out

@@ -112,6 +112,29 @@ def test_group_selection_most_specific_agent():
     assert shared["rules"] == [("/x/", False)]
 
 
+def test_split_groups_merge_per_rfc9309():
+    """RFC 9309 §2.2.1: rules from EVERY group the winning agent token
+    matches combine — files that split one agent's rules across blocks
+    must not silently drop the later blocks (r4 ADVICE, medium)."""
+    txt = "User-agent: *\nDisallow: /a/\n\nUser-agent: *\nDisallow: /b/\n"
+    g = parse_robots_txt(txt, "tegenaria")
+    assert sorted(g["rules"]) == [("/a/", False), ("/b/", False)]
+    assert not robots_allowed(g["rules"], "/b/x")
+    # specific agent still beats the merged fallback
+    mixed = (
+        "User-agent: *\nDisallow: /a/\n\n"
+        "User-agent: teg\nDisallow: /t1/\nCrawl-delay: 1\n\n"
+        "User-agent: *\nDisallow: /b/\n\n"
+        "User-agent: teg\nDisallow: /t2/\nCrawl-delay: 3\n"
+    )
+    g2 = parse_robots_txt(mixed, "tegenaria")
+    assert sorted(g2["rules"]) == [("/t1/", False), ("/t2/", False)]
+    # conflicting Crawl-delays resolve to the most conservative (max)
+    assert g2["crawl_delay"] == 3.0
+    g3 = parse_robots_txt(mixed, "otherbot")
+    assert sorted(g3["rules"]) == [("/a/", False), ("/b/", False)]
+
+
 def test_lowering_to_engine_rows_and_residual():
     rows, residual = robots_rows_from_txt(
         {
