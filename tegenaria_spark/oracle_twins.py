@@ -624,9 +624,9 @@ def expected_crawl_resume(n_seeds: int = 10) -> pd.DataFrame:
         cfg,
         robots=robots_rules(site),
         budgets=domain_budgets(site, default_budget=4),
-        # 5 rounds = the Spark side's 2 (pre-kill) + 3 (post-resume):
+        # 2 rounds = the Spark side's 1 (pre-kill) + 1 (post-resume):
         # the parity prefix, not the full drain, is the contract
-        max_rounds=5,
+        max_rounds=2,
     )
     rows = [("log", int(t[0]), int(t[1]), t[3], t[6], 0) for t in sim.fetch_log]
     rows += [("seen", -1, -1, "", "", int(fp)) for fp in sorted(sim.url_seen)]
