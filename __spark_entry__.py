@@ -326,6 +326,65 @@ def _robots_txt_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _robots_residual_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r5 (verdict #3): the ENGINE's schedule_round with wildcard robots
+    # residuals + Crawl-delay-lowered budgets — `*`/`$` Disallows block
+    # through schedule.robots_gate_residual (map-only exact matcher for
+    # wildcard-bearing domains) and a domain's Crawl-delay caps its
+    # per-round budget via functions.robots.crawl_delay_budget_rows.
+    # Twin: an independent parse+match+rank in
+    # oracle_twins.expected_robots_residual_schedule.
+    from tegenaria_spark.config import EngineConfig
+    from tegenaria_spark.functions.robots import (
+        crawl_delay_budget_rows,
+        robots_engine_inputs,
+    )
+    from tegenaria_spark.operators.schedule import schedule_round
+    from tegenaria_spark.oracle_twins import expected_robots_residual_schedule
+    from tegenaria_spark.schemas import DOMAIN_BUDGET_SCHEMA, ROBOTS_SCHEMA
+    from tegenaria_spark.sources.synth import ROBOTS_GATE_PATHS, robots_txt_corpus
+
+    _ensure_fixture(
+        "robots_residual_schedule", sf_dir, expected_robots_residual_schedule
+    )
+    agent, default_budget = "tegenaria", 3
+    cfg = EngineConfig(shuffle_partitions=8, default_budget_per_round=default_budget)
+    corpus = robots_txt_corpus()
+    prefix_rows, residual_map, delays = robots_engine_inputs(corpus, agent)
+    budget_rows = crawl_delay_budget_rows(
+        delays, cfg.round_interval_s, default_budget=default_budget
+    )
+    frontier_rows = []
+    seq = 0
+    for domain in sorted(corpus):
+        for path in ROBOTS_GATE_PATHS:
+            frontier_rows.append(
+                (f"c{seq}", f"http://{domain}{path}", domain, path, seq % 3, seq, None)
+            )
+            seq += 1
+    frontier = spark.createDataFrame(
+        frontier_rows,
+        "ctx_id string, canon_url string, domain string, path string, "
+        "priority int, enqueue_seq bigint, next_fetch_time timestamp",
+    ).withColumn("next_fetch_time", F.timestamp_millis(F.lit(cfg.epoch_ms)))
+    robots = (
+        spark.createDataFrame(
+            [(r["domain"], r["path_prefix"], r["allow"]) for r in prefix_rows],
+            ROBOTS_SCHEMA,
+        )
+        if prefix_rows
+        else None
+    )
+    budgets = spark.createDataFrame(
+        [(r["domain"], r["budget_per_round"], r["max_conns"]) for r in budget_rows],
+        DOMAIN_BUDGET_SCHEMA,
+    )
+    decided = schedule_round(
+        frontier, robots, budgets, 0, cfg, robots_residual=residual_map
+    )
+    return decided.select("domain", "path", "sched")
+
+
 def _m1_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # M1/M2 middleware chain shape: ordered column transforms
     lineitem = _t(spark, sf_dir, "lineitem")
@@ -961,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_quotes": _html_extract_quotes,
         "html_extract_links": _html_extract_links,
         "crawl_resume_parity": _crawl_resume_parity,
+        "robots_residual_schedule": _robots_residual_schedule,
         "f1_dedup_anti_join": _f1_dedup_anti_join,
         "f5_status_allow_filter": _f5_status_allow_filter,
         "q1_priority_window_topk": _q1_priority_window_topk,
@@ -1337,6 +1397,10 @@ def oracle_sql() -> dict[str, str]:
         "robots_txt_gate": (
             "SELECT domain, path, allowed "
             f"FROM read_parquet('{_fixture_path('robots_txt_gate')}')"
+        ),
+        "robots_residual_schedule": (
+            "SELECT domain, path, sched "
+            f"FROM read_parquet('{_fixture_path('robots_residual_schedule')}')"
         ),
         "crawl_round_schedule": (
             "SELECT ctx_id, domain, outcome "

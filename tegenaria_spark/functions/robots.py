@@ -171,6 +171,68 @@ def robots_rows_from_txt(
     return rows, residual
 
 
+def robots_engine_inputs(
+    txt_by_domain: dict[str, str], agent: str = "tegenaria"
+) -> tuple[list[dict], dict[str, list[tuple[str, bool]]], dict[str, float]]:
+    """Lower a robots.txt corpus to the ENGINE's three inputs:
+    ``(prefix_rows, residual_map, crawl_delays)``.
+
+    Longest-match precedence is only correct when ONE matcher sees a
+    domain's whole rule list — a prefix Disallow must lose to a longer
+    wildcard Allow.  So a domain with ANY wildcard/anchored rule routes
+    its ENTIRE group (prefix rules included) through the exact matcher
+    (``residual_map`` → schedule.robots_gate_residual) and contributes
+    no prefix rows; wildcard-free domains lower fully to the broadcast
+    prefix join.  ``crawl_delays`` feeds :func:`crawl_delay_budget_rows`.
+
+    Scale shape: both outputs are per-domain dimensions (a few rules
+    per domain); the frontier never shuffles for either gate."""
+    prefix_rows: list[dict] = []
+    residual_map: dict[str, list[tuple[str, bool]]] = {}
+    delays: dict[str, float] = {}
+    for domain, txt in txt_by_domain.items():
+        parsed = parse_robots_txt(txt, agent)
+        if parsed["crawl_delay"] is not None:
+            delays[domain] = parsed["crawl_delay"]
+        rules = [(p, a) for p, a in parsed["rules"] if p != ""]
+        if any("*" in p or p.endswith("$") for p, _a in rules):
+            residual_map[domain] = rules
+        else:
+            prefix_rows.extend(
+                {"domain": domain, "path_prefix": p, "allow": a} for p, a in rules
+            )
+    return prefix_rows, residual_map, delays
+
+
+def crawl_delay_budget_rows(
+    delays: dict[str, float],
+    round_interval_s: float,
+    budget_rows: Optional[list[dict]] = None,
+    default_budget: int = 16,
+    default_max_conns: int = 128,
+) -> list[dict]:
+    """Lower ``Crawl-delay`` into the engine's per-domain politeness
+    budget: a delay of *d* seconds between requests caps a round of
+    *T* seconds at ``max(1, floor(T / d))`` fetches.  Merged with any
+    existing budget rows by taking the MORE conservative (smaller)
+    budget; domains with a delay but no budget row get a new row."""
+    by_domain = {r["domain"]: dict(r) for r in (budget_rows or [])}
+    for domain, d in delays.items():
+        if d <= 0:
+            continue
+        cap = max(1, int(round_interval_s / d))
+        row = by_domain.get(domain)
+        if row is None:
+            by_domain[domain] = {
+                "domain": domain,
+                "budget_per_round": min(cap, default_budget),
+                "max_conns": default_max_conns,
+            }
+        else:
+            row["budget_per_round"] = min(int(row["budget_per_round"]), cap)
+    return list(by_domain.values())
+
+
 def robots_gate_pandas(
     paths: pd.Series, rules: list[tuple[str, bool]]
 ) -> pd.Series:

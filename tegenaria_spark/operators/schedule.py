@@ -47,38 +47,98 @@ def split_ready(frontier: DataFrame, round_no: int, cfg: EngineConfig) -> tuple[
 def robots_gate(ready: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Longest-matching-prefix robots decision per URL; default allow.
 
-    The robots table is per-domain and tiny relative to the frontier —
-    broadcast it so the gate is a map-side join, no shuffle.  Returns
-    (allowed, blocked).
+    MAP-ONLY: rules collapse to ONE array row per domain (the robots
+    dim is tiny — that groupBy shuffles a few rules per domain, not
+    the frontier), broadcast-join on ``domain``, and the longest-match
+    fold (equal-length Allow beats Disallow, RFC 9309 §2.2.2; no match
+    ⇒ allow) runs as a Catalyst ``aggregate`` over the row's rule
+    array.  r4 verdict #5: the previous shape exploded candidate
+    matches and re-ranked them under a ``row_number`` window
+    partitioned by (ctx_id, enqueue_seq) — a per-round frontier
+    exchange on a second key before the budget window's domain
+    shuffle; this fold decides in place and drops that exchange.
+    Returns (allowed, blocked).
     """
     path = F.coalesce(F.parse_url(F.col("canon_url"), F.lit("PATH")), F.lit("/"))
-    rules = F.broadcast(
-        robots.select(
-            F.col("domain").alias("_r_domain"),
-            F.col("path_prefix").alias("_r_prefix"),
-            F.col("allow").alias("_r_allow"),
+    rules_by_domain = F.broadcast(
+        robots.groupBy("domain").agg(
+            F.collect_list(
+                F.struct(F.col("path_prefix").alias("p"), F.col("allow").alias("a"))
+            ).alias("_rules")
         )
     )
-    joined = ready.withColumn("_path", path).join(
-        rules,
-        (F.col("domain") == F.col("_r_domain")) & F.col("_path").startswith(F.col("_r_prefix")),
-        "left",
-    )
-    # longest matching prefix wins; equal-length Allow beats Disallow
-    # (RFC 9309 §2.2.2 — also makes the row_number pick deterministic);
-    # no match ⇒ allow
-    w = Window.partitionBy("ctx_id", "enqueue_seq").orderBy(
-        F.length("_r_prefix").desc(), F.col("_r_allow").desc()
-    )
     decided = (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .withColumn("_allowed", F.coalesce(F.col("_r_allow"), F.lit(True)))
-        .drop("_rn", "_r_domain", "_r_prefix", "_r_allow", "_path")
+        ready.withColumn("_path", path)
+        .join(rules_by_domain, "domain", "left")
+        .withColumn(
+            "_allowed",
+            F.coalesce(
+                F.expr(
+                    """
+                    aggregate(
+                      filter(_rules, r -> startswith(_path, r.p)),
+                      named_struct('len', -1, 'allow', true),
+                      (acc, r) -> if(length(r.p) > acc.len
+                                     or (length(r.p) = acc.len and r.a and not acc.allow),
+                                     named_struct('len', length(r.p), 'allow', r.a),
+                                     acc),
+                      acc -> acc.allow
+                    )
+                    """
+                ),
+                F.lit(True),
+            ),
+        )
+        .drop("_rules", "_path")
     )
     allowed = decided.filter(F.col("_allowed")).drop("_allowed")
     blocked = decided.filter(~F.col("_allowed")).drop("_allowed")
     return allowed, blocked
+
+
+def robots_gate_residual(
+    ready: DataFrame, residual_map: dict[str, list[tuple[str, bool]]]
+) -> tuple[DataFrame, DataFrame]:
+    """Wildcard-capable robots decision for domains whose rule group
+    contains ``*``/``$`` patterns (RFC 9309) — the prefix join can't
+    express those, and longest-match is only correct when one matcher
+    sees the domain's WHOLE rule list (functions/robots.py lowering).
+
+    Zero-shuffle: ``mapInPandas`` with the residual rule map in the
+    task closure — rules are a per-domain dimension (a few KB/domain,
+    wildcard-bearing domains a subset of that), the batch groups by
+    domain locally and patterns compile once per (domain, batch).
+    Returns (allowed, blocked)."""
+    import pandas as pd
+
+    from tegenaria_spark.functions.robots import robots_gate_pandas
+
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    cols = [f.name for f in ready.schema.fields]
+    # copy: StructType.add mutates in place and ready.schema is cached
+    out_schema = StructType(
+        list(ready.schema.fields) + [StructField("_allowed", BooleanType(), False)]
+    )
+
+    def gate(batches):
+        from urllib.parse import urlsplit
+
+        for pdf in batches:
+            allowed = pd.Series(True, index=pdf.index)
+            for domain, grp in pdf.groupby("domain", sort=False):
+                rules = residual_map.get(domain)
+                if not rules:
+                    continue
+                paths = grp["canon_url"].map(lambda u: urlsplit(u or "").path or "/")
+                allowed.loc[grp.index] = robots_gate_pandas(paths, rules).to_numpy()
+            yield pdf.assign(_allowed=allowed)
+
+    decided = ready.mapInPandas(gate, out_schema)
+    return (
+        decided.filter(F.col("_allowed")).drop("_allowed").select(*cols),
+        decided.filter(~F.col("_allowed")).drop("_allowed").select(*cols),
+    )
 
 
 def budget_select(
@@ -120,6 +180,7 @@ def schedule_round(
     domain_budget: DataFrame,
     round_no: int,
     cfg: EngineConfig,
+    robots_residual: dict[str, list[tuple[str, bool]]] = None,
 ) -> DataFrame:
     """The whole scheduling decision as ONE pass over the frontier.
 
@@ -127,13 +188,34 @@ def schedule_round(
     sleeping} and advances ``next_fetch_time`` for deferred rows.  The
     caller checkpoints the result once and slices by ``sched`` — the
     budget window (the round's main shuffle) runs exactly once instead
-    of once per consumer (selected/deferred/frontier-rewrite)."""
+    of once per consumer (selected/deferred/frontier-rewrite).
+
+    ``robots_residual``: wildcard-bearing domains' full rule lists —
+    those domains gate through :func:`robots_gate_residual` (exact
+    matcher, map-only) instead of the prefix join, so `*`/`$` Disallows
+    actually block (RFC 9309; no reference counterpart — north-rule
+    surface)."""
     ready, sleeping = split_ready(frontier, round_no, cfg)
+    blocked_parts = []
+    if robots_residual:
+        res_domains = sorted(robots_residual)
+        ready_res = ready.filter(F.col("domain").isin(res_domains))
+        ready = ready.filter(~F.col("domain").isin(res_domains))
+        allowed_res, blocked_res = robots_gate_residual(ready_res, robots_residual)
+        blocked_parts.append(blocked_res)
+    else:
+        allowed_res = None
     if robots is None:
-        # no rules registered — skip the broadcast join entirely
+        # no prefix rules registered — skip the broadcast join entirely
         allowed, blocked = ready, ready.limit(0)
     else:
         allowed, blocked = robots_gate(ready, robots)
+    blocked_parts.append(blocked)
+    if allowed_res is not None:
+        allowed = allowed.unionByName(allowed_res)
+    blocked = blocked_parts[0]
+    for part in blocked_parts[1:]:
+        blocked = blocked.unionByName(part)
     selected, deferred = budget_select(allowed, domain_budget, round_no, cfg)
     return (
         selected.withColumn("sched", F.lit("selected"))

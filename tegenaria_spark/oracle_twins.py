@@ -635,74 +635,124 @@ def expected_crawl_resume(n_seeds: int = 10) -> pd.DataFrame:
     ).astype({"round": "int32", "seq": "int64", "fp": "int64"})
 
 
+def _oracle_parse_robots(txt: str, agent: str) -> tuple[list, float]:
+    """INDEPENDENT robots.txt parser (no functions/robots.py import):
+    group accumulation as (agents, rules, delay) passes — deliberately
+    a different construction from the operator's single-pass flush.
+    Returns ``(rules, crawl_delay)`` for *agent* with RFC 9309 §2.2.1
+    group merging (all groups at the winning specificity combine;
+    conflicting delays resolve to the max)."""
+    groups = []
+    agents, rules, delay, pending_agents = [], [], None, True
+    for line in txt.splitlines():
+        body = line.split("#", 1)[0].strip()
+        if not body or ":" not in body:
+            continue
+        field, _, val = body.partition(":")
+        field, val = field.strip().lower(), val.strip()
+        if field == "user-agent":
+            if not pending_agents:
+                groups.append((agents, rules, delay))
+                agents, rules, delay = [], [], None
+                pending_agents = True
+            agents.append(val.lower())
+        elif field in ("allow", "disallow", "crawl-delay") and agents:
+            pending_agents = False
+            if field == "crawl-delay":
+                try:
+                    delay = float(val)
+                except ValueError:
+                    pass
+            elif field == "disallow" and val == "":
+                rules.append(("", True))
+            elif val:
+                rules.append((val, field == "allow"))
+    if agents:
+        groups.append((agents, rules, delay))
+    # most specific agent token wins; '*' is the fallback; ALL groups
+    # at the winning specificity merge — computed here as a dict keyed
+    # by spec, a different shape from the operator's best-spec scan
+    by_spec: dict[int, list] = {}
+    delay_by_spec: dict[int, float] = {}
+    for ags, rls, dly in groups:
+        specs = [
+            0 if a == "*" else (len(a) if a and a in agent.lower() else None)
+            for a in ags
+        ]
+        specs = [s for s in specs if s is not None]
+        if specs:
+            s = max(specs)
+            by_spec.setdefault(s, []).extend(rls)
+            if dly is not None:
+                delay_by_spec[s] = max(delay_by_spec.get(s, dly), dly)
+    if not by_spec:
+        return [], None
+    win = max(by_spec)
+    return by_spec[win], delay_by_spec.get(win)
+
+
+def _oracle_robots_allowed(rules: list, path: str) -> bool:
+    import re as _re
+
+    verdict, best = True, -1
+    for pat, allow in rules:
+        if pat == "":
+            ok, spec = True, 0
+        else:
+            tail = "$" if pat.endswith("$") else ""
+            core = pat[:-1] if tail else pat
+            rx = "^" + ".*".join(_re.escape(seg) for seg in core.split("*")) + tail
+            ok, spec = _re.match(rx, path) is not None, len(pat)
+        if ok and (spec > best or (spec == best and allow and not verdict)):
+            best, verdict = spec, allow
+    return verdict
+
+
 def expected_robots_gate(agent: str = "tegenaria-image/1.0") -> pd.DataFrame:
     """Twin of the robots_txt_gate query: an INDEPENDENT robots.txt
     parser + RFC 9309 longest-match matcher over the shared synthetic
     corpus — re-derived here without importing functions/robots.py
     (a shared-helper bug must fail the gate, not pass it twice).
     """
-    import re as _re
-
     from tegenaria_spark.sources.synth import ROBOTS_GATE_PATHS, robots_txt_corpus
-
-    def parse(txt: str):
-        # group accumulation as (agents, rules) passes — deliberately a
-        # different construction from the operator's single-pass flush
-        groups = []
-        agents, rules, pending_agents = [], [], True
-        for line in txt.splitlines():
-            body = line.split("#", 1)[0].strip()
-            if not body or ":" not in body:
-                continue
-            field, _, val = body.partition(":")
-            field, val = field.strip().lower(), val.strip()
-            if field == "user-agent":
-                if not pending_agents:
-                    groups.append((agents, rules))
-                    agents, rules = [], []
-                    pending_agents = True
-                agents.append(val.lower())
-            elif field in ("allow", "disallow", "crawl-delay") and agents:
-                pending_agents = False
-                if field == "disallow" and val == "":
-                    rules.append(("", True))
-                elif field == "allow" or field == "disallow":
-                    if val:
-                        rules.append((val, field == "allow"))
-        if agents:
-            groups.append((agents, rules))
-        # most specific agent token wins; '*' is the fallback; ALL
-        # groups at the winning specificity merge (RFC 9309 §2.2.1) —
-        # computed here as a dict keyed by spec, a different shape from
-        # the operator's single best-spec scan
-        by_spec: dict[int, list] = {}
-        for ags, rls in groups:
-            specs = [
-                0 if a == "*" else (len(a) if a and a in agent.lower() else None)
-                for a in ags
-            ]
-            specs = [s for s in specs if s is not None]
-            if specs:
-                by_spec.setdefault(max(specs), []).extend(rls)
-        return by_spec[max(by_spec)] if by_spec else []
-
-    def allowed(rules, path):
-        verdict, best = True, -1
-        for pat, allow in rules:
-            if pat == "":
-                ok, spec = True, 0
-            else:
-                tail = "$" if pat.endswith("$") else ""
-                core = pat[:-1] if tail else pat
-                rx = "^" + ".*".join(_re.escape(seg) for seg in core.split("*")) + tail
-                ok, spec = _re.match(rx, path) is not None, len(pat)
-            if ok and (spec > best or (spec == best and allow and not verdict)):
-                best, verdict = spec, allow
-        return verdict
 
     rows = []
     for domain, txt in sorted(robots_txt_corpus().items()):
-        rules = parse(txt)
+        rules, _delay = _oracle_parse_robots(txt, agent)
         for path in ROBOTS_GATE_PATHS:
-            rows.append((domain, path, allowed(rules, path)))
+            rows.append((domain, path, _oracle_robots_allowed(rules, path)))
     return pd.DataFrame(rows, columns=["domain", "path", "allowed"])
+
+
+def expected_robots_residual_schedule(
+    agent: str = "tegenaria",
+    default_budget: int = 3,
+    round_interval_s: float = 1.0,
+) -> pd.DataFrame:
+    """Twin of the robots_residual_schedule query: the whole
+    schedule-round decision (wildcard robots gate + Crawl-delay-capped
+    budget ranking) re-derived single-threaded.  Frontier grid, rule
+    corpus and the priority/seq formula are the SHARED inputs
+    (sources/synth.robots_txt_corpus + ROBOTS_GATE_PATHS; priority =
+    seq % 3); the decision logic is independent of operators/schedule
+    and functions/robots."""
+    from tegenaria_spark.sources.synth import ROBOTS_GATE_PATHS, robots_txt_corpus
+
+    rows = []
+    seq = 0
+    for domain, txt in sorted(robots_txt_corpus().items()):
+        rules, delay = _oracle_parse_robots(txt, agent)
+        budget = default_budget
+        if delay is not None and delay > 0:
+            budget = min(budget, max(1, int(round_interval_s / delay)))
+        allowed = []
+        for path in ROBOTS_GATE_PATHS:
+            if _oracle_robots_allowed(rules, path):
+                allowed.append((seq % 3, seq, path))
+            else:
+                rows.append((domain, path, "robots_blocked"))
+            seq += 1
+        allowed.sort()  # (priority, enqueue_seq) — timestamps are equal
+        for rank, (_p, _s, path) in enumerate(allowed, start=1):
+            rows.append((domain, path, "selected" if rank <= budget else "deferred"))
+    return pd.DataFrame(rows, columns=["domain", "path", "sched"])

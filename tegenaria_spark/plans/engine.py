@@ -166,6 +166,7 @@ class CrawlEngine:
         robots_rows: Optional[list[dict]] = None,
         budget_rows: Optional[list[dict]] = None,
         plugins=None,
+        robots_residual: Optional[dict] = None,
     ):
         from tegenaria_spark.operators.plugins import PluginSet
 
@@ -185,6 +186,10 @@ class CrawlEngine:
         self.robots = (
             spark.createDataFrame(robots_rows, ROBOTS_SCHEMA) if robots_rows else None
         )
+        # wildcard-bearing domains' full rule lists (RFC 9309 `*`/`$`):
+        # routed through the exact matcher in schedule_round; lower a
+        # robots.txt corpus with functions.robots.robots_engine_inputs
+        self.robots_residual = robots_residual or None
         self.budgets = (
             spark.createDataFrame(budget_rows, DOMAIN_BUDGET_SCHEMA)
             if budget_rows
@@ -380,7 +385,10 @@ class CrawlEngine:
             now = time.time()
             timings[name] = round(now - (t0 + sum(timings.values())), 3)
 
-        decided = schedule_round(frontier, self.robots, self.budgets, r, cfg)
+        decided = schedule_round(
+            frontier, self.robots, self.budgets, r, cfg,
+            robots_residual=self.robots_residual,
+        )
         decided = pin(decided)  # budget window runs once
         selected = decided.filter(F.col("sched") == "selected").drop("sched")
         deferred = decided.filter(F.col("sched") == "deferred").drop("sched")

@@ -204,3 +204,76 @@ def test_lowered_rows_drive_engine_gate_identically(spark):
         ctx, domain, path = row[0], row[2], row[1].split(domain := row[2], 1)[1].rstrip("?")
         rules = parse_robots_txt(txts[domain])["rules"]
         assert got[ctx] == robots_allowed(rules, path or "/"), (domain, path)
+
+
+def test_wildcard_residual_and_crawl_delay_drive_engine(spark, tmp_path):
+    """r4 verdict #3: a `*`/`$` Disallow must actually BLOCK a fetch on
+    the engine path (robots_gate_residual stage), and a Crawl-delay
+    must shrink the domain's per-round politeness budget."""
+    from tegenaria_spark.config import EngineConfig
+    from tegenaria_spark.functions.robots import (
+        crawl_delay_budget_rows,
+        robots_engine_inputs,
+    )
+    from tegenaria_spark.plans.engine import CrawlEngine
+    from tegenaria_spark.sources.store import LocalSnapshotStore
+    from tegenaria_spark.sources.synth import SiteConfig
+
+    site = SiteConfig(n_domains=2, pages_per_domain=12,
+                      error_ratio=0.0, redirect_ratio=0.0)
+    d0, d1 = site.domain(0), site.domain(1)
+    txts = {
+        # wildcard + anchored carve-out: blocks /p/1, /p/10, /p/11 —
+        # except /p/10 exactly (Allow "/p/10$" is longer than "/p/1*")
+        d0: "User-agent: *\nDisallow: /p/1*\nAllow: /p/10$\n",
+        # wildcard-free: lowers to the broadcast prefix join; the
+        # Crawl-delay caps the round budget at interval/delay = 1
+        d1: "User-agent: *\nDisallow: /p/3\nCrawl-delay: 1\n",
+    }
+    rows, residual, delays = robots_engine_inputs(txts)
+    assert set(residual) == {d0} and all(r["domain"] == d1 for r in rows)
+    assert delays == {d1: 1.0}
+    cfg = EngineConfig(shuffle_partitions=4, bloom_enabled=False, fetch_partitions=4)
+    budgets = crawl_delay_budget_rows(
+        delays, cfg.round_interval_s, default_budget=cfg.default_budget_per_round
+    )
+    assert budgets == [{"domain": d1, "budget_per_round": 1, "max_conns": 128}]
+
+    seeds = []
+    for k, domain_idx in enumerate((0, 1)):
+        for p in range(12):
+            seeds.append({
+                "ctx_id": f"seed-{domain_idx}-{p}",
+                "url": site.page_url(domain_idx, p),
+                "method": "GET", "headers": None, "body": None,
+                "params": None, "meta": None, "parser": "image_parser",
+                "do_not_filter": False, "allow_status": [], "priority": 0,
+                "enqueue_seq": k * 12 + p, "retries": 0, "round_added": 0,
+            })
+    store = LocalSnapshotStore(str(tmp_path / "robots-engine"), spark,
+                               fp_buckets=cfg.fp_buckets)
+    engine = CrawlEngine(
+        spark, store, site, cfg,
+        robots_rows=rows, budget_rows=budgets, robots_residual=residual,
+    )
+    engine.run(seeds, max_rounds=2)
+
+    log = store.read_log("fetch_log").collect()
+    by_outcome: dict[str, set] = {}
+    for r in log:
+        by_outcome.setdefault(r["outcome"], set()).add((r["url"], r["round"]))
+    blocked_urls = {u for u, _ in by_outcome.get("robots_blocked", set())}
+    fetched = sorted(by_outcome.get("fetched", set()))
+
+    # d0: the wildcard Disallow blocked /p/1 and /p/11; the anchored
+    # Allow carved /p/10 back out; unrelated paths untouched
+    assert any("/p/1?" in u for u in blocked_urls)
+    assert any("/p/11?" in u for u in blocked_urls)
+    assert not any(f"{d0}/p/10?" in u for u in blocked_urls)
+    assert any(f"{d0}/p/10?" in u for u, _rnd in fetched)
+    assert not any(f"{d0}/p/11?" in u for u, _rnd in fetched)
+    # d1: prefix Disallow still blocks via the broadcast join
+    assert any(f"{d1}/p/3?" in u for u in blocked_urls)
+    # Crawl-delay lowered the budget: exactly ONE d1 fetch per round
+    d1_rounds = [rnd for u, rnd in fetched if d1 in u]
+    assert sorted(d1_rounds) == sorted(set(d1_rounds)), d1_rounds
