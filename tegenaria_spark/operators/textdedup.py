@@ -556,6 +556,28 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8, **kw) -> DataFrame
     return hamming_near_pairs(simhash_table(docs, **kw), max_hamming)
 
 
+def _positions_of_duplicated_grams(grams: DataFrame, min_occ: int) -> DataFrame:
+    """``(doc_id, pos)`` of every gram-stream row whose gram occurs
+    ≥ *min_occ* times corpus-wide.
+
+    Skew-proof two-level shape (r4 verdict #4): a map-side-combined
+    ``groupBy(g).count()`` (partial aggregation bounds any one gram's
+    reducer input by the MAP-TASK count, not its occurrence count)
+    followed by a semi join back to the gram stream.  The join hashes
+    a hot gram's positions to one partition too, but sort-merge join
+    partitions are AQE-skew-SPLITTABLE (OptimizeSkewedJoin), which a
+    ``count().over(partitionBy(g))`` window is not — under the window,
+    a boilerplate gram with 10^8 occurrences at the 100 TB design
+    point was a single-task straggler by construction."""
+    occ = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= min_occ)
+        .select("g")
+    )
+    return grams.join(occ, "g", "left_semi").select("doc_id", "pos")
+
+
 def duplicate_token_spans(
     docs: DataFrame,
     n: int = 8,
@@ -578,17 +600,16 @@ def duplicate_token_spans(
     :func:`strip_duplicate_spans` to materialize cleaned text.
 
     Plan shape (100 TB): the suffix array of the paper is a
-    single-machine construct; the distributed equivalent is two
-    bounded exchanges.  Exchange 1 partitions the exploded
-    (gram, doc, pos) stream BY GRAM for a count window — identical
-    economics to :func:`~tegenaria_spark.operators.curation.
-    corpus_dup_ngrams` (the gram string is the key, so the count is
-    exact, not hash-approximate; at petabyte scale swap the key for
-    ``xxhash64(g)`` and accept the 2^-64 collision).  Exchange 2
-    re-partitions surviving positions BY DOC for the island window —
-    its volume is only the DUPLICATED windows, a small fraction of the
-    corpus in the non-pathological case.  No join, no driver state,
-    no Python in the pipeline (pure Catalyst).
+    single-machine construct; the distributed equivalent is bounded
+    exchanges.  Stage 1 finds duplicated grams with a map-side-combined
+    ``groupBy(gram).count()`` + semi join back (skew-proof — see
+    :func:`_positions_of_duplicated_grams`; the gram string is the
+    key, so the count is exact, not hash-approximate; at petabyte
+    scale swap the key for ``xxhash64(g)`` and accept the 2^-64
+    collision).  Stage 2 re-partitions surviving positions BY DOC for
+    the island window — its volume is only the DUPLICATED windows, a
+    small fraction of the corpus in the non-pathological case.  No
+    driver state, no Python in the pipeline (pure Catalyst).
     """
     from tegenaria_spark.operators.curation import word_ngrams_col
 
@@ -596,11 +617,7 @@ def duplicate_token_spans(
         F.col(id_col).alias("doc_id"),
         F.posexplode(word_ngrams_col(text_col, n)).alias("pos", "g"),
     )
-    dup = (
-        grams.withColumn("occ", F.count(F.lit(1)).over(Window.partitionBy("g")))
-        .filter(F.col("occ") >= min_occ)
-        .select("doc_id", "pos")
-    )
+    dup = _positions_of_duplicated_grams(grams, min_occ)
     isl = dup.withColumn(
         "grp",
         F.col("pos")
@@ -627,8 +644,8 @@ def strip_duplicate_spans(
     pass through with ``n_removed = 0``).
 
     Plan shape (100 TB): the corpus is NEVER exploded into token rows
-    for the removal — only the gram stream is (for the count window,
-    as in the span stage).  Duplicated-window positions expand to
+    for the removal — only the gram stream is (for the duplicated-gram
+    filter, as in the span stage).  Duplicated-window positions expand to
     covered token positions (``explode(sequence)`` + distinct, volume
     bounded by n × duplicated windows), collapse back to ONE sorted
     array per document, and join the corpus on doc_id — a
@@ -645,8 +662,7 @@ def strip_duplicate_spans(
         F.posexplode(word_ngrams_col(text_col, n)).alias("pos", "g"),
     )
     covered = (
-        grams.withColumn("occ", F.count(F.lit(1)).over(Window.partitionBy("g")))
-        .filter(F.col("occ") >= min_occ)
+        _positions_of_duplicated_grams(grams, min_occ)
         .select(
             "doc_id",
             F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("pos"),

@@ -437,3 +437,42 @@ def test_quality_rule_flags_hand_cases(spark):
     assert not out[4]["c4_no_javascript"] and not out[4]["c4_keep"]
     assert out[4]["gopher_keep"]  # C4 content flags don't affect gopher_keep
     assert out[5]["n_words"] == 0 and not out[5]["gopher_keep"] and not out[5]["c4_keep"]
+
+
+def test_dup_gram_count_is_skew_proof(spark):
+    """r4 verdict #4: the duplicated-gram count must NOT be a window
+    partitioned by the gram — under `count().over(partitionBy(g))` a
+    viral boilerplate gram pins all its occurrences to ONE task.  The
+    rewrite is a map-side-combined aggregate + AQE-splittable semi
+    join; this asserts the plan shape AND correctness on a corpus
+    where one gram dominates (one hot 2-gram in every doc)."""
+    from tegenaria_spark.operators.curation import corpus_dup_ngrams
+    from tegenaria_spark.operators.textdedup import (
+        duplicate_token_spans,
+        strip_duplicate_spans,
+    )
+
+    # every doc repeats the hot pair "hot gram"; doc i also carries a
+    # unique tail so docs are not identical
+    rows = [(i, ("hot gram " * 5) + f"tail{i} end{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    spans = duplicate_token_spans(docs, n=2, min_occ=2)
+    plan = spans._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(g#" not in plan, plan
+    got = {r.doc_id: (r.start_tok, r.end_tok) for r in spans.collect()}
+    # tokens 0..9 are the repeated hot/gram alternation; 2-gram windows
+    # 0..8 are all duplicated (window 9 = "gram tailN" is unique), so
+    # the maximal span covers tokens 0..9
+    assert got == {i: (0, 9) for i in range(40)}
+
+    clean = {r.doc_id: r.clean_text for r in strip_duplicate_spans(docs, n=2, min_occ=2).collect()}
+    assert clean == {i: f"tail{i} end{i}" for i in range(40)}
+
+    dup = corpus_dup_ngrams(docs, n=2, min_df=2)
+    plan2 = dup._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(g#" not in plan2, plan2
+    out = {r.doc_id: (r.n_ngrams, r.n_dup) for r in dup.collect()}
+    # distinct 2-grams per doc: "hot gram", "gram hot", "hot tailN",
+    # "tailN endN" → 4; the first two occur in every doc (df=40)
+    assert out == {i: (4, 2) for i in range(40)}

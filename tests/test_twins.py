@@ -187,3 +187,33 @@ def test_fetch_stage_survives_multiple_arrow_batches(spark):
     finally:
         if old is not None:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_ivf_twin_catches_planted_fit_bug(rng):
+    """r4 verdict #5 (carried ADVICE): the IVF oracle twin must be
+    sensitive to centroid-FIT bugs.  The twin re-derives the fit with
+    its own numpy code (oracle_twins._twin_ivf_centroids_int); this
+    locks (a) the two independent implementations agree on the spec,
+    and (b) a seeded bug planted in the operator's fit (one Lloyd
+    iteration short) produces different centroids AND flips cell
+    assignments — i.e. the driver gate would fail, not silently pass."""
+    import numpy as np
+
+    from tegenaria_spark.operators.similarity import ivf_assign, ivf_fit_centroids_int
+    from tegenaria_spark.oracle_twins import (
+        _twin_ivf_centroids_int,
+        _twin_ivf_project,
+    )
+
+    mat = rng.standard_normal((512, 32))
+    good = ivf_fit_centroids_int(mat, 16)
+    twin = _twin_ivf_centroids_int(mat, 16)
+    assert np.array_equal(good, twin)
+
+    planted = ivf_fit_centroids_int(mat, 16, iters=7)  # the seeded bug
+    assert not np.array_equal(planted, twin)
+    assign_bug = ivf_assign(mat, planted)
+    assign_twin = np.argmax(_twin_ivf_project(mat, twin), axis=1)
+    # the fit bug propagates to visible cell-assignment differences —
+    # candidate sets (and thus the gate's value hash) diverge
+    assert (assign_bug != assign_twin).any()
