@@ -233,8 +233,11 @@ def run_ballast(master: str, cpus: int) -> None:
         extra_spark_conf={
             "spark.local.dir": "/dev/shm/tegenaria-ballast-local",
             "spark.driver.memory": "24g",
+            # same workload mix as the measured engine (run_crawl)
+            "spark.scheduler.mode": os.environ.get("SPARK_GRAFT_SCHED_MODE", "FAIR"),
         },
     )
+    os.environ.setdefault("TEGENARIA_COMMIT_MAX_FILES", "32")
     # larger URL space than the measured site: the ballast must outlive
     # the whole lo window without draining
     site = SiteConfig(
@@ -285,6 +288,14 @@ def run_crawl_subprocess(master: str, cpus: int, ballast_cpus: int = 0) -> dict:
 def run_crawl(master: str, cpus: int) -> dict:
     """One fixed crawl workload; returns round throughput.
 
+    Commit writes default to 32 files/table here (store default 16):
+    at the hi level a 16-file write is ONE 16-slot wave gated by its
+    straggler task; 32 files = 2 waves halves the straggler quantum
+    and packs better under the FAIR scheduler (measured r5 probe:
+    local[16] 2,893 → 4,012 fetched-URLs/s with FAIR+32).  At the
+    real design point a commit is thousands of files — the cap is
+    sandbox economy, not a design constant.
+
     Throughput is fetched-URLs/sec over the *round* walls (the metric
     is frontier-round throughput; session spin-up + seed bootstrap are
     one-time setup — at the 10^10 design point one bootstrap amortizes
@@ -302,6 +313,7 @@ def run_crawl(master: str, cpus: int) -> dict:
     # a round is millions of URLs; a TOY round under-reports scaling.
     budget = int(os.environ.get("SPARK_GRAFT_BUDGET", "256"))
     measured_rounds = int(os.environ.get("SPARK_GRAFT_MEASURE_ROUNDS", "3"))
+    os.environ.setdefault("TEGENARIA_COMMIT_MAX_FILES", "32")  # see docstring
     cfg = EngineConfig(
         # partitioning is a property of the DATA, not the cluster size:
         # both parallelism levels run the identical plan with identical
@@ -328,6 +340,11 @@ def run_crawl(master: str, cpus: int) -> dict:
             # Measured: 48g made warm-up GC stalls WORSE than 24g on
             # this VM (60 s all-table commit stalls in round 1)
             "spark.driver.memory": "24g",
+            # FAIR: the commit's 5-6 concurrent table-write jobs and the
+            # pipelined next-round compute otherwise FIFO-serialize —
+            # each 1-wave write job parks 15 slots behind its straggler
+            # task (r5 probe: see BENCH.md)
+            "spark.scheduler.mode": os.environ.get("SPARK_GRAFT_SCHED_MODE", "FAIR"),
         },
     )
     site = SiteConfig(
@@ -393,7 +410,15 @@ def run_crawl(master: str, cpus: int) -> dict:
         # state; BENCH.md §3).  The full-volume warm-up is load-bearing;
         # the session budget comes from fewer measured rounds and the
         # noise gate, not from starving the warm-up.
-        warmup_rounds = int(os.environ.get("SPARK_GRAFT_WARMUP_ROUNDS", "2"))
+        # r5: ONE full-budget warm-up round (was 2).  The r4 lesson
+        # stands — warm-up must run at FULL payload volume — but one
+        # full round ramps heap/GC/commit far enough that the residual
+        # first-measured-round ramp is small and SYMMETRIC across
+        # levels (probe: hi rounds [2602, 3378, ...], lo [996, 1405,
+        # ...] — both ~25% round-1 ramp, cancelling in the ratio),
+        # and the saved ~230 s/pair at lo is what lets 3 clean pairs
+        # fit the driver's time box (r4 rc 124).
+        warmup_rounds = int(os.environ.get("SPARK_GRAFT_WARMUP_ROUNDS", "1"))
         seeds = seed_frontier_df(spark, site, 150_000)
         store = LocalSnapshotStore(workdir, spark, fp_buckets=cfg.fp_buckets)
         engine = CrawlEngine(spark, store, site, cfg, budget_rows=budgets)
@@ -495,6 +520,7 @@ def run_crawl(master: str, cpus: int) -> dict:
 
 
 def main() -> None:
+    t_start = time.time()
     from tegenaria_spark.session import get_spark
 
     if len(sys.argv) >= 4 and sys.argv[1] == "--crawl":
@@ -709,14 +735,35 @@ def main() -> None:
         publish()  # queries-only snapshot, in case scaling never finishes
         # pre-registered stopping rule: accumulate pairs until
         # target_clean NOISE-GATED pairs exist (their median is the
-        # official number) or the max_pairs budget is spent.  No
-        # result-dependent early stop — the gate looks only at the noise
-        # instruments, never at the measured efficiency, so the median
+        # official number), the max_pairs budget is spent, or the WALL
+        # budget would be exceeded by another pair.  No result-dependent
+        # early stop — the gate looks only at the noise instruments and
+        # the clock, never at the measured efficiency, so the median
         # cannot be selected for.
+        #
+        # The wall budget is the r4 fix for rc 124: the driver runs this
+        # script under an outer time-box, and a session that starts a
+        # pair it cannot finish gets KILLED mid-pair — the exit code
+        # then voids the whole artifact even though every printed line
+        # was complete.  Starting a new pair only when the worst
+        # observed pair cost still fits guarantees a clean exit with
+        # however many pairs fit (pairs_done records how far it got).
+        wall_budget = float(os.environ.get("SPARK_GRAFT_TIME_BUDGET_S", "3300"))
+        pair_cost_est = float(os.environ.get("SPARK_GRAFT_PAIR_EST_S", "1000"))
+        pair_walls: list[float] = []
         while len(runs) < max_pairs:
             if sum(1 for r in runs if r["clean"]) >= target_clean:
                 break
+            est = max(pair_walls + [pair_cost_est])
+            remaining = wall_budget - (time.time() - t_start)
+            if est > remaining:
+                result["scaling_stopped"] = (
+                    f"wall budget: {remaining:.0f}s left < {est:.0f}s pair estimate"
+                )
+                break
+            t_pair = time.time()
             run_pair()
+            pair_walls.append(time.time() - t_pair)
             publish()
 
     # the FINAL stdout line is the official machine-readable artifact —
