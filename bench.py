@@ -410,15 +410,17 @@ def run_crawl(master: str, cpus: int) -> dict:
         # state; BENCH.md §3).  The full-volume warm-up is load-bearing;
         # the session budget comes from fewer measured rounds and the
         # noise gate, not from starving the warm-up.
-        # r5: ONE full-budget warm-up round (was 2).  The r4 lesson
-        # stands — warm-up must run at FULL payload volume — but one
-        # full round ramps heap/GC/commit far enough that the residual
-        # first-measured-round ramp is small and SYMMETRIC across
-        # levels (probe: hi rounds [2602, 3378, ...], lo [996, 1405,
-        # ...] — both ~25% round-1 ramp, cancelling in the ratio),
-        # and the saved ~230 s/pair at lo is what lets 3 clean pairs
-        # fit the driver's time box (r4 rc 124).
-        warmup_rounds = int(os.environ.get("SPARK_GRAFT_WARMUP_ROUNDS", "1"))
+        # r5: an attempt to cut to ONE warm-up round (to fit 3 pairs in
+        # one time-boxed invocation) was MEASURED and reverted: a probe
+        # had shown ~25% symmetric round-1 ramp, but a full
+        # instrument-clean pair under the 1-warmup protocol recorded
+        # round-1 at 67% of steady at lo vs 26% at hi (aggregate eff
+        # 0.398 where the steady-round ratio read 0.76) — the residual
+        # ramp is NOT reliably symmetric, and an asymmetric ramp inside
+        # the measured window corrupts the ratio in either direction.
+        # Two full-budget warm-up rounds stay; the time-box problem is
+        # solved by pair BANKING across invocations instead (see main).
+        warmup_rounds = int(os.environ.get("SPARK_GRAFT_WARMUP_ROUNDS", "2"))
         seeds = seed_frontier_df(spark, site, 150_000)
         store = LocalSnapshotStore(workdir, spark, fp_buckets=cfg.fp_buckets)
         engine = CrawlEngine(spark, store, site, cfg, budget_rows=budgets)
@@ -519,6 +521,50 @@ def run_crawl(master: str, cpus: int) -> dict:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+# the driver records only the LAST ~2000 chars of stdout: r4's final
+# line was ~4.1 KB (53 query timings + the full nested crawl summary),
+# so the tail cut the line's HEAD and the driver recorded parsed=null
+# (rc 124 aside, the artifact would still have been unreadable).  Every
+# printed line must therefore fit the tail buffer whole: query times
+# round to 2 decimals and the crawl summary prints lean — the full
+# nested form (per-level noise instruments, gates, per-pair triad/
+# steal/loadavg) lives in BENCH_DETAIL.json, which publish() writes on
+# every pair and BENCH.md cites.
+_TAIL_BUDGET = 1950
+
+
+def _lean_line(result: dict) -> str:
+    lean = dict(result)
+    if "crawl" in result:
+        lean["metric"] = "query suite sec + crawl scaling eff"
+    lean["queries"] = {k: round(v, 2) for k, v in result.get("queries", {}).items()}
+    crawl = result.get("crawl")
+    if crawl:
+        lo_key = next(k for k in crawl if k.startswith("local["))
+        hi_key = [k for k in crawl if k.startswith("local[")][1]
+        lean["crawl"] = {
+            "lo": lo_key,
+            "hi": hi_key,
+            "fetched_urls_per_sec_lo": crawl["fetched_urls_per_sec_lo"],
+            "fetched_urls_per_sec_hi": crawl["fetched_urls_per_sec_hi"],
+            "pairs_done": crawl["pairs_done"],
+            "n_clean_pairs": crawl["n_clean_pairs"],
+            "banked_pairs": crawl.get("banked_pairs", 0),
+            "effs": [r["eff"] for r in crawl["runs"]],
+            "clean": [r["clean"] for r in crawl["runs"]],
+            "scaling_efficiency": crawl["scaling_efficiency"],
+            "eff_capability": crawl.get("eff_capability"),
+            "detail": "BENCH_DETAIL.json",
+        }
+    line = json.dumps(lean)
+    if len(line) > _TAIL_BUDGET and "crawl" in lean:
+        # drop the per-pair arrays before anything the driver grades on
+        lean["crawl"].pop("effs", None)
+        lean["crawl"].pop("clean", None)
+        line = json.dumps(lean)
+    return line
+
+
 def main() -> None:
     t_start = time.time()
     from tegenaria_spark.session import get_spark
@@ -536,11 +582,17 @@ def main() -> None:
     os.environ["SPARK_GRAFT_SKIP_FIXTURES"] = "1"
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
-    spark = get_spark("tegenaria-bench", master=f"local[{CPUS}]")
-    t0 = time.time()
-    qtimes = run_queries(spark, SF_DIR)
-    total = round(time.time() - t0, 3)
-    spark.stop()
+    if os.environ.get("SPARK_GRAFT_SKIP_QUERIES", "") == "1":
+        # continuation invocation: only accumulate scaling pairs into
+        # the bank (the suite was already timed by the invocation that
+        # opened the session)
+        qtimes, total = {}, 0.0
+    else:
+        spark = get_spark("tegenaria-bench", master=f"local[{CPUS}]")
+        t0 = time.time()
+        qtimes = run_queries(spark, SF_DIR)
+        total = round(time.time() - t0, 3)
+        spark.stop()
 
     result = {
         "metric": "headline query suite wall time (+ crawl frontier-round throughput)",
@@ -606,6 +658,44 @@ def main() -> None:
         max_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_PAIRS", "7"))
         runs = []
 
+        # pair BANKING across invocations (r4 verdict Next #1a): a
+        # budget-stopped or killed invocation still contributes its
+        # pairs — the next invocation RESUMES the same pre-registered
+        # session (same workload, levels, gates, stopping rule) instead
+        # of starting over, so the protocol completes across however
+        # many time-boxed invocations it takes.  The bank keys on the
+        # protocol fingerprint: any change to levels/gates/ballast
+        # invalidates it.  Banked pairs are marked "banked": true in
+        # every artifact; the lean line reports how many were banked.
+        bank_path = os.environ.get(
+            "SPARK_GRAFT_PAIR_BANK",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_PAIRS.json"),
+        )
+        fingerprint = {
+            "levels": [lo_cpus, hi_cpus],
+            "gates": [list(_gates(lo_cpus)), list(_gates(hi_cpus))],
+            "steal_gate": steal_gate,
+            "ballast_cpus": hi_cpus - lo_cpus,
+            # protocol knobs: a pair measured under a different warm-up
+            # or window length is NOT resumable into this session
+            "warmup_rounds": int(os.environ.get("SPARK_GRAFT_WARMUP_ROUNDS", "2")),
+            "measured_rounds": int(os.environ.get("SPARK_GRAFT_MEASURE_ROUNDS", "3")),
+        }
+        if os.path.exists(bank_path):
+            try:
+                with open(bank_path) as fh:
+                    bank = json.load(fh)
+                if bank.get("fingerprint") == fingerprint:
+                    for r in bank.get("runs", []):
+                        r["banked"] = True
+                        runs.append(r)
+            except (ValueError, OSError):
+                pass
+
+        def _bank() -> None:
+            with open(bank_path, "w") as fh:
+                json.dump({"fingerprint": fingerprint, "runs": runs}, fh)
+
         def run_pair():
             crawl_lo = run_crawl_subprocess(
                 f"local[{lo_cpus}]", lo_cpus, ballast_cpus=hi_cpus - lo_cpus
@@ -625,6 +715,7 @@ def main() -> None:
             }
             run["clean"] = _is_clean(run)
             runs.append(run)
+            _bank()
 
         def compact(level: dict) -> dict:
             # per-round DAG-stage timings are diagnostics, not results —
@@ -671,6 +762,7 @@ def main() -> None:
                             "eff": r["eff"],
                             "eff_best_round": r["eff_best_round"],
                             "clean": r["clean"],
+                            "banked": r.get("banked", False),
                             "busy_cores": [
                                 r[f"local[{lo_cpus}]"]["busy_cores"],
                                 r[f"local[{hi_cpus}]"]["busy_cores"],
@@ -691,6 +783,7 @@ def main() -> None:
                         for r in runs
                     ],
                     "n_clean_pairs": len(clean),
+                    "banked_pairs": sum(1 for r in runs if r.get("banked")),
                     # capability estimator: the workload is deterministic
                     # and host noise only ever ADDS wall time, so the
                     # best steady-round throughput per level across the
@@ -730,7 +823,7 @@ def main() -> None:
                 )
                 with open(detail_path, "w") as fh:
                     json.dump({"summary": result, "runs": runs}, fh, indent=1)
-            print(json.dumps(result), flush=True)
+            print(_lean_line(result), flush=True)
 
         publish()  # queries-only snapshot, in case scaling never finishes
         # pre-registered stopping rule: accumulate pairs until
@@ -767,8 +860,9 @@ def main() -> None:
             publish()
 
     # the FINAL stdout line is the official machine-readable artifact —
-    # keep it compact (the driver tails output)
-    print(json.dumps(result))
+    # it must fit the driver's ~2000-char tail buffer WHOLE (see
+    # _lean_line); the fat nested summary is in BENCH_DETAIL.json
+    print(_lean_line(result))
 
 
 if __name__ == "__main__":
