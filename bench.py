@@ -545,8 +545,8 @@ def _lean_line(result: dict) -> str:
         lean["crawl"] = {
             "lo": lo_key,
             "hi": hi_key,
-            "fetched_urls_per_sec_lo": crawl["fetched_urls_per_sec_lo"],
-            "fetched_urls_per_sec_hi": crawl["fetched_urls_per_sec_hi"],
+            "fetched_urls_per_sec_lo": round(crawl["fetched_urls_per_sec_lo"]),
+            "fetched_urls_per_sec_hi": round(crawl["fetched_urls_per_sec_hi"]),
             "pairs_done": crawl["pairs_done"],
             "n_clean_pairs": crawl["n_clean_pairs"],
             "banked_pairs": crawl.get("banked_pairs", 0),
@@ -554,7 +554,6 @@ def _lean_line(result: dict) -> str:
             "clean": [r["clean"] for r in crawl["runs"]],
             "scaling_efficiency": crawl["scaling_efficiency"],
             "eff_capability": crawl.get("eff_capability"),
-            "detail": "BENCH_DETAIL.json",
         }
     line = json.dumps(lean)
     if len(line) > _TAIL_BUDGET and "crawl" in lean:
@@ -562,6 +561,17 @@ def _lean_line(result: dict) -> str:
         lean["crawl"].pop("effs", None)
         lean["crawl"].pop("clean", None)
         line = json.dumps(lean)
+    if len(line) > _TAIL_BUDGET:
+        # last resort (future-proofing for a grown query inventory):
+        # keep the slowest-N query timings — the full per-query map is
+        # always in BENCH_DETAIL.json — and say how many were elided
+        q = lean["queries"]
+        keep = sorted(q, key=q.get, reverse=True)
+        while len(line) > _TAIL_BUDGET and keep:
+            keep = keep[: max(len(keep) - 8, 0)]
+            lean["queries"] = {k: q[k] for k in keep}
+            lean["queries_elided"] = len(q) - len(keep)
+            line = json.dumps(lean)
     return line
 
 
