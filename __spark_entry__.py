@@ -688,9 +688,15 @@ def _crawl_round_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         {**r, "next_fetch_time": ts0}
         for r in seed_urls(site, n_seeds=300, option_ratio=0.5)
     ]
+    # r6 (guide §2.4/§1): pin the canonicalize+fingerprint+dedup chain
+    # ONCE — the four union branches below each re-derived the whole
+    # upstream (createDataFrame → canonical UDF → fingerprint → gate),
+    # a 4× recompute that dominated this query's wall (engine.py pins
+    # the same fork in production; this mirrors it)
     frontier = with_fingerprint(with_canonical(spark.createDataFrame(rows, FRONTIER_SCHEMA)))
-    frontier = frontier.filter(F.col("valid"))
+    frontier = frontier.filter(F.col("valid")).localCheckpoint(eager=True)
     fresh, dups = dedup_gate(frontier, spark.createDataFrame([], URL_SEEN_SCHEMA))
+    fresh = fresh.localCheckpoint(eager=True)  # ready/allowed/budget fork
     robots = spark.createDataFrame(robots_rules(site), ROBOTS_SCHEMA)
     budgets = spark.createDataFrame(domain_budgets(site, 8), DOMAIN_BUDGET_SCHEMA)
     ready, _ = split_ready(fresh, 0, cfg)

@@ -92,17 +92,76 @@ def _signature(canon: DataFrame):
     ).first()
 
 
+def _cc_driver(canon: DataFrame) -> DataFrame:
+    """Small-graph fast path: union-find over a DRIVER-collected edge
+    set.  Exact same contract as the distributed loop — (node,
+    component-min) for every node in the edge set.  Only entered when
+    the deduplicated edge count is under ``driver_max_edges`` (the
+    caller has already counted it), so the collect is bounded by
+    construction; ordering note: python ``min`` on str compares by
+    code point, identical to Spark's UTF-8 binary `least` (UTF-8 is
+    code-point order-preserving)."""
+    pdf = canon.toPandas()  # arrow path; ≤ driver_max_edges rows
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(pdf["hi"], pdf["lo"]):
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    for x in parent:
+        r = find(x)
+        m = comp_min.get(r)
+        if m is None or x < m:
+            comp_min[r] = x
+    node_t = canon.schema["hi"].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("node", node_t, False), StructField("component", node_t, False)]
+    )
+    rows = [(x, comp_min[find(x)]) for x in parent]
+    return canon.sparkSession.createDataFrame(rows, schema)
+
+
 def connected_components(
-    pairs: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Component assignment for every node that appears in *pairs*:
     returns (node, component) where component is the smallest node id
     in the connected component.  Root nodes map to themselves;
     nodes absent from *pairs* are absent here (join + coalesce for a
     full assignment — see `canonical_assignments`).
-    """
+
+    r6 adaptive split (guide §1.2): each large-star/small-star round is
+    two shuffles + a checkpoint + a convergence probe — per-ROUND driver
+    job constants that dwarf the work when the edge set is small (sf0.1:
+    190k edges over 2.3k nodes ran the loop for 4.7 s; a driver
+    union-find answers in well under a second).  Edge sets at or under
+    *driver_max_edges* (a bounded, ≤ ~16 MB Arrow collect — same
+    bounded-collect discipline as ``similarity.hash_sample_vectors``)
+    take the union-find path; anything larger runs the O(log n)
+    distributed loop, which remains the 100 TB design point.  The edge
+    count that picks the path is the signature aggregate the loop needs
+    anyway."""
     canon = _canonical_edges(pairs, src, dst).localCheckpoint()
     sig = _signature(canon)
+    if 0 < sig.n <= driver_max_edges:
+        return _cc_driver(canon)
     for _ in range(max_iter):
         if sig.n == 0:
             break

@@ -107,6 +107,84 @@ def tfidf_top_terms(
     )
 
 
+def word_ngram_hash_stream(
+    docs: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    positional: bool = False,
+) -> DataFrame:
+    """The word n-gram stream as HASHED rows — ``(id, pos, gh)`` when
+    *positional* else per-doc-distinct ``(id, gh)``.
+
+    r6 (guide §4.2): the Catalyst ``transform(sequence, i ->
+    concat_ws(slice(ws, i, n)))`` window builder is an INTERPRETED
+    higher-order expression measuring ~10 µs/window (5.4 s for the
+    235k sf0.1 8-gram windows, rebuilt 2-3× per query).  Tokenizing and
+    windowing in a ``mapInArrow`` pass uses CPython's C-level
+    split/join (~0.5-1.0 s for the same stream) and ships only
+    (id, text) in; the gram string is then hashed by codegen
+    ``xxhash64`` JVM-side, so every downstream exchange carries an
+    8-byte key (guide §2.3).  Gram equality becomes hash equality —
+    the repo-wide 2^-64 fingerprint convention (and the r5 verdict's
+    prescribed swap for the petabyte design point).
+
+    Falls back to the expression path for non-integral id columns
+    (the Arrow pass pins the id dtype)."""
+    import pyarrow as pa
+    import pandas as pd
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    if not isinstance(
+        docs.schema[id_col].dataType, (ByteType, ShortType, IntegerType, LongType)
+    ):
+        grams = (
+            F.posexplode(word_ngrams_col(text_col, n))
+            if positional
+            else F.explode(F.array_distinct(word_ngrams_col(text_col, n)))
+        )
+        alias = ("pos", "g") if positional else ("g",)
+        base = docs.select(F.col(id_col).alias("_id"), grams.alias(*alias))
+        cols = [F.col("_id").alias(id_col)] + (
+            [F.col("pos")] if positional else []
+        )
+        return base.select(*cols, F.xxhash64("g").alias("gh"))
+
+    def gen(batches):
+        for batch in batches:
+            pdf = batch.to_pandas()
+            ids, poss, gs = [], [], []
+            for did, txt in zip(pdf["_id"], pdf["_t"]):
+                ws = [w for w in (txt or "").lower().split(" ") if w]
+                if len(ws) < n:
+                    continue
+                if positional:
+                    for i in range(len(ws) - n + 1):
+                        ids.append(did)
+                        poss.append(i)
+                        gs.append(" ".join(ws[i : i + n]))
+                else:
+                    seen = set()
+                    for i in range(len(ws) - n + 1):
+                        g = " ".join(ws[i : i + n])
+                        if g not in seen:
+                            seen.add(g)
+                            ids.append(did)
+                            gs.append(g)
+            out = {"_id": pd.Series(ids, dtype="int64")}
+            if positional:
+                out["pos"] = pd.Series(poss, dtype="int32")
+            out["g"] = pd.Series(gs, dtype="object")
+            yield pa.RecordBatch.from_pandas(pd.DataFrame(out))
+
+    schema = "_id long" + (", pos int" if positional else "") + ", g string"
+    stream = docs.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_t")
+    ).mapInArrow(gen, schema)
+    cols = [F.col("_id").alias(id_col)] + ([F.col("pos")] if positional else [])
+    return stream.select(*cols, F.xxhash64("g").alias("gh"))
+
+
 def word_ngrams_col(text_col, n: int):
     """Word *n*-gram array, entirely JVM-side: lowercase, split on
     single space, drop empties, then one ``transform`` over the window
@@ -151,28 +229,31 @@ def ngram_decontaminate(
     to a shuffled hash join on the n-gram string — still never
     all-pairs.
     """
+    # r6 (guide §4.2 + §2.3): both gram streams come from the mapInArrow
+    # tokenizer (the interpreted Catalyst window builder dominated this
+    # query) and shuffle/broadcast as 8-byte xxhash64 keys.  The train
+    # stream is generated ONCE and pinned; n_ngrams and the membership
+    # probe both read the pin, and the probe is a semi join against the
+    # broadcast eval-gram hash set (only hits flow to the count).
     eval_grams = (
-        eval_docs.select(F.explode(word_ngrams_col(text_col, n)).alias("g"))
+        word_ngram_hash_stream(eval_docs, n, text_col=text_col, id_col=id_col)
+        .select("gh")
         .distinct()
-        .withColumn("_hit", F.lit(1))
     )
-    train_grams = train.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(word_ngrams_col(text_col, n))).alias("g"),
-    )
-    counts = (
-        train_grams.join(F.broadcast(eval_grams), "g", "left")
+    train_grams = word_ngram_hash_stream(
+        train, n, text_col=text_col, id_col=id_col
+    ).withColumnRenamed(id_col, "doc_id")
+    train_grams = train_grams.localCheckpoint(eager=True)
+    per_doc = train_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    matched = (
+        train_grams.join(F.broadcast(eval_grams), "gh", "left_semi")
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_ngrams"),
-            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_matched"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_matched"))
     )
-    # docs with zero n-grams never reach `counts` (explode drops them):
-    # restore with a left join so the output covers every train doc
     return (
         train.select(F.col(id_col).alias("doc_id"))
-        .join(counts, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .join(matched, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
@@ -215,20 +296,33 @@ def corpus_dup_ngrams(
     contribution to a gram at 1, so df ≤ corpus size.  The final
     per-doc rollup is a map-side-combined count on doc_id.
     """
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(word_ngrams_col(text_col, n))).alias("g"),
+    # r6 rewrite (guide §4.2 + §2.3): the gram stream is generated ONCE
+    # (mapInArrow tokenizer — the interpreted Catalyst window builder
+    # was the query's real cost, rebuilt twice by the old agg+join
+    # shape), hashed to 8-byte keys, and PINNED; the three consumers
+    # (per-doc n_ngrams, the duplicated-gram set, the dup-count probe)
+    # all read the pin.  The semi join is AQE-skew-splittable and its
+    # build side (the dup-gram set) broadcastable at runtime.
+    grams = word_ngram_hash_stream(
+        docs, n, text_col=text_col, id_col=id_col
+    ).withColumnRenamed(id_col, "doc_id")
+    grams = grams.localCheckpoint(eager=True)
+    per_doc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    dup_set = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("gh")
     )
-    df_per_gram = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    with_df = grams.join(df_per_gram, "g", "inner")
-    counts = with_df.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_ngrams"),
-        F.sum((F.col("df") >= min_df).cast("long")).alias("n_dup"),
+    dup_counts = (
+        grams.join(dup_set, "gh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
     )
-    # short docs (< n words) have zero grams — restore via left join
     return (
         docs.select(F.col(id_col).alias("doc_id"))
-        .join(counts, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .join(dup_counts, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),

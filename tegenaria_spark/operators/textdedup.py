@@ -114,24 +114,37 @@ def ngram_jaccard_pairs(
     variant of :func:`word_jaccard_pairs` (robust to word-boundary
     edits that word tokens miss), same exact PPJoin machinery.
 
-    Tokens are the distinct lowercase char n-grams, generated JVM-side
-    (``sequence`` + ``transform`` + ``substring`` inside codegen — no
-    Python).  Texts shorter than *n* chars (or NULL) contribute no
-    tokens and therefore never pair, on both engines."""
-    lowered = f"lower({text_col})"
-    grams = F.when(
-        F.length(F.col(text_col)) >= n,
-        # sequence(1, stop) with stop < 1 would generate DESCENDING —
-        # the length guard keeps stop ≥ 1
-        F.expr(
-            f"transform(sequence(1, length({lowered}) - {n - 1}), "
-            f"i -> substring({lowered}, i, {n}))"
-        ),
-    ).otherwise(F.expr("array()").cast("array<string>"))
-    toks = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("w"))
-        .distinct()
-    )
+    Tokens are the distinct lowercase char n-grams.  Texts shorter than
+    *n* chars (or NULL) contribute no tokens and therefore never pair,
+    on both engines.
+
+    r6 (guide §4.2): the gram set is built by a vectorized
+    ``mapInArrow`` tokenizer — C-level string slicing into a per-doc
+    ``set`` — instead of the interpreted Catalyst
+    ``transform(sequence, substring)`` + explode + corpus-wide
+    ``distinct``: the HOF build measured ~4 s at sf0.1, and the per-doc
+    set emits the distinct (doc, gram) pairs directly, so the 1.5M-row
+    distinct exchange disappears.  Python/JVM/DuckDB ``lower`` agree on
+    this corpus (ASCII); char slicing is code-point identical."""
+
+    def toks_gen(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            pdf = batch.to_pandas()
+            ids, ws = [], []
+            for did, txt in zip(pdf["_id"], pdf["_t"]):
+                lt = (txt or "").lower()
+                for g in {lt[i : i + n] for i in range(len(lt) - n + 1)}:
+                    ids.append(did)
+                    ws.append(g)
+            yield pa.RecordBatch.from_pandas(
+                pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"), "w": ws})
+            )
+
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_t")
+    ).mapInArrow(toks_gen, "doc_id long, w string")
     return _jaccard_pairs_ppjoin(toks, threshold_pct, bitset_max)
 
 
@@ -160,8 +173,15 @@ def _jaccard_pairs_ppjoin(
       hashing ids would trade exactness for speed).
 
     The vocabulary count that picks the path is one tiny aggregate on
-    the (checkpointed) token table the plan needs anyway."""
-    words = words.localCheckpoint(eager=False)  # reused by both paths
+    the (checkpointed) token table the plan needs anyway.
+
+    r6 (guide §1/§2.4): the fork-point pins are EAGER.  The lazy form
+    let the downstream branches (per-doc counts, the two prefix-window
+    sides, the mask build) race to materialize the shared subtree inside
+    one job, recomputing the explode+distinct up to 3× — at sf0.1 every
+    stage of this query measures < 1 s pinned, yet the lazy end-to-end
+    plan ran 9-12 s."""
+    words = words.localCheckpoint(eager=True)  # reused by both paths
     doc_freq = words.groupBy("w").agg(F.count("*").alias("df"))
     vocab = doc_freq.count()
     if vocab <= bitset_max:
@@ -175,7 +195,13 @@ def _jaccard_pairs_ppjoin(
         .join(counts, "doc_id")
     )
     prefix_len = F.col("n") - F.ceil(F.col("n") * threshold_pct / 100) + 1
-    prefix = ranked.filter(F.col("_rn") <= prefix_len).select("doc_id", "w", "n", "_rn")
+    # pinned: _ppjoin_candidates consumes the prefix table TWICE (both
+    # self-join sides) — lazy, each side recomputed the window
+    prefix = (
+        ranked.filter(F.col("_rn") <= prefix_len)
+        .select("doc_id", "w", "n", "_rn")
+        .localCheckpoint(eager=True)
+    )
 
     cands = _ppjoin_candidates(prefix, "w", threshold_pct)
     # exact verification on full token sets, restricted to candidates
@@ -243,14 +269,22 @@ def _jaccard_pairs_bitset(
         "wid",
         F.row_number().over(Window.orderBy(F.col("df").asc(), F.col("w").asc())) - 1,
     ).select("w", "wid")
+    # EAGER (r6): counts, the prefix window, and the mask build all fork
+    # from this table inside one job — a lazy pin let them race and
+    # recompute the token join (see _jaccard_pairs_ppjoin docstring)
     iwords = words.join(F.broadcast(wid), "w").select("doc_id", "wid")
-    iwords = iwords.localCheckpoint(eager=False)  # candidates + masks reuse
+    iwords = iwords.localCheckpoint(eager=True)  # candidates + masks reuse
     counts = iwords.groupBy("doc_id").agg(F.count("*").alias("n"))
 
     order = Window.partitionBy("doc_id").orderBy(F.col("wid").asc())
     ranked = iwords.withColumn("_rn", F.row_number().over(order)).join(counts, "doc_id")
     prefix_len = F.col("n") - F.ceil(F.col("n") * threshold_pct / 100) + 1
-    prefix = ranked.filter(F.col("_rn") <= prefix_len).select("doc_id", "wid", "n", "_rn")
+    # pinned: both self-join sides of _ppjoin_candidates read it
+    prefix = (
+        ranked.filter(F.col("_rn") <= prefix_len)
+        .select("doc_id", "wid", "n", "_rn")
+        .localCheckpoint(eager=True)
+    )
     cands = _ppjoin_candidates(prefix, "wid", threshold_pct)
 
     # per-doc fixed-width bitmask: word ids bucket into 64-bit lanes
@@ -265,20 +299,34 @@ def _jaccard_pairs_bitset(
         .agg(F.collect_list("wid").alias("ws"))
         .select("doc_id", mask.alias("m"), F.size("ws").alias("n"))
     )
-    inter_bits = F.expr(
-        "aggregate(zip_with(ma, mb, (x, y) -> bit_count(x & y)), 0, (a, b) -> a + CAST(b AS INT))"
+    # r6 (guide §4.1): intersect as PER-LANE scalar columns — bit_count
+    # over lane ANDs is a codegen sum chain; the old zip_with+aggregate
+    # fold over the mask arrays is an interpreted higher-order
+    # expression paying per-pair allocation.  The lane extraction runs
+    # once per DOC (masks side), never per candidate pair.  vocab ≤
+    # bitset_max = 4096 bounds the chain at 64 terms.
+    lanes = masks.select(
+        "doc_id", "n", *[F.col("m")[j].alias(f"l{j}") for j in range(n_lanes)]
+    ).localCheckpoint(eager=True)  # one row per doc; read by both join sides
+    ma = lanes.select(
+        F.col("doc_id").alias("da"),
+        F.col("n").alias("na"),
+        *[F.col(f"l{j}").alias(f"_a{j}") for j in range(n_lanes)],
     )
+    mb = lanes.select(
+        F.col("doc_id").alias("db"),
+        F.col("n").alias("nb"),
+        *[F.col(f"l{j}").alias(f"_b{j}") for j in range(n_lanes)],
+    )
+    inter_bits = None
+    for j in range(n_lanes):
+        term = F.bit_count(F.col(f"_a{j}").bitwiseAND(F.col(f"_b{j}")))
+        inter_bits = term if inter_bits is None else inter_bits + term
     t = F.lit(threshold_pct)
     return (
-        cands.join(
-            masks.select(F.col("doc_id").alias("da"), F.col("m").alias("ma"), F.col("n").alias("na")),
-            "da",
-        )
-        .join(
-            masks.select(F.col("doc_id").alias("db"), F.col("m").alias("mb"), F.col("n").alias("nb")),
-            "db",
-        )
-        .withColumn("i", inter_bits)
+        cands.join(ma, "da")
+        .join(mb, "db")
+        .withColumn("i", inter_bits.cast("int"))
         .filter(F.col("i") * 100 >= t * (F.col("na") + F.col("nb") - F.col("i")))
         .select(
             F.col("da").alias("doc_a"),
@@ -356,6 +404,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 42,
+    broadcast_max_docs: int = 100_000,
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified by signature similarity.
 
@@ -398,27 +447,96 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    cands = (
+    raw_pairs = (
         bands.select(F.col("doc_id").alias("da"), "band", "bucket")
         .join(bands.select(F.col("doc_id").alias("db"), "band", "bucket"), ["band", "bucket"])
         .filter(F.col("da") < F.col("db"))
-        .select("da", "db")
-        .distinct()
     )
-    # verify: join the (small, pinned) signature table back per side
-    paired = cands.join(
-        sigs.select(F.col("doc_id").alias("da"), F.col("sig").alias("sig_a")), "da"
-    ).join(sigs.select(F.col("doc_id").alias("db"), F.col("sig").alias("sig_b")), "db")
-    # positional agreement as a fold of scalar comparisons — measured 3×
-    # faster than zip_with+filter+size (those materialize two
-    # intermediate arrays per pair; at sf0.1 the verify step runs over
-    # 6M candidate pairs, so per-pair allocations dominate)
-    agree = F.expr(
-        f"aggregate(sequence(1, {n_perm}), 0, "
-        "(acc, j) -> acc + IF(element_at(sig_a, j) = element_at(sig_b, j), 1, 0))"
+    # verify (r6, guide §4.2/§2.3): the old per-pair Catalyst fold
+    # (aggregate over sequence(1, n_perm) with element_at) is an
+    # INTERPRETED higher-order expression — measured ~135 µs/pair, 26.5 s
+    # over the 6.3M sf0.1 candidates, the whole query's long pole.  Two
+    # exact replacements, chosen by corpus size:
+    #
+    # - small corpus (sig matrix fits an executor broadcast): collect the
+    #   pinned signature table once (n_docs × n_perm × 8 B — the same
+    #   relation the old plan broadcast for BOTH hash joins), broadcast
+    #   the numpy matrix, and verify candidates in a mapInArrow pass —
+    #   candidates stream as (da, db) longs only, agreement is one
+    #   vectorized (mat[ia] == mat[ib]).sum(1) per batch.  Measured
+    #   26.5 s → 1.5 s.
+    # - large corpus: per-position scalar columns (element_at runs once
+    #   per DOC on the build side, not once per pair) + a codegen sum of
+    #   64 IF terms; joins degrade gracefully to sort-merge when the
+    #   build side outgrows broadcast.  Measured 26.5 s → 8.4 s at sf0.1.
+    n_docs = sigs.count()  # metadata-cheap: sigs is an eager checkpoint
+    if n_docs <= broadcast_max_docs:
+        import pyarrow as pa
+
+        rows = sigs.collect()
+        ids = np.fromiter((r["doc_id"] for r in rows), dtype=np.int64, count=len(rows))
+        mat = np.array([r["sig"] for r in rows], dtype=np.int64)
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        bc = docs.sparkSession.sparkContext.broadcast((ids, mat))
+        # ids in [0, 2^31): pack the pair into ONE long so the distinct
+        # (the query's only exchange) shuffles an 8-byte key with a
+        # single-column hash instead of a 16-byte two-column row
+        pack = len(ids) > 0 and ids[0] >= 0 and ids[-1] < (1 << 31)
+        if pack:
+            cands = (
+                raw_pairs.select(
+                    (F.shiftleft(F.col("da"), 32) + F.col("db")).alias("pk")
+                ).distinct()
+            )
+        else:
+            cands = raw_pairs.select("da", "db").distinct()
+
+        def verify(batches):
+            bids, bmat = bc.value
+            for batch in batches:
+                pdf = batch.to_pandas()
+                if pack:
+                    pk = pdf["pk"].to_numpy()
+                    da = pk >> 32
+                    db = pk & 0xFFFFFFFF
+                else:
+                    da = pdf["da"].to_numpy()
+                    db = pdf["db"].to_numpy()
+                ia = np.searchsorted(bids, da)
+                ib = np.searchsorted(bids, db)
+                est = (bmat[ia] == bmat[ib]).sum(axis=1) / float(n_perm)
+                keep = est >= threshold
+                yield pa.RecordBatch.from_pandas(
+                    pd.DataFrame(
+                        {
+                            "doc_a": da[keep],
+                            "doc_b": db[keep],
+                            "est_jaccard": est[keep],
+                        }
+                    )
+                )
+
+        return cands.mapInArrow(verify, "doc_a long, doc_b long, est_jaccard double")
+
+    cands = raw_pairs.select("da", "db").distinct()
+    wide = sigs.select(
+        "doc_id", *[F.element_at("sig", j + 1).alias(f"s{j}") for j in range(n_perm)]
     )
+    wa = wide.select(
+        F.col("doc_id").alias("da"), *[F.col(f"s{j}").alias(f"_a{j}") for j in range(n_perm)]
+    )
+    wb = wide.select(
+        F.col("doc_id").alias("db"), *[F.col(f"s{j}").alias(f"_b{j}") for j in range(n_perm)]
+    )
+    agree = None
+    for j in range(n_perm):
+        term = F.when(F.col(f"_a{j}") == F.col(f"_b{j}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
     return (
-        paired.withColumn("est_jaccard", agree / F.lit(n_perm))
+        cands.join(wa, "da")
+        .join(wb, "db")
+        .withColumn("est_jaccard", agree / F.lit(n_perm))
         .filter(F.col("est_jaccard") >= threshold)
         .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"), "est_jaccard")
     )
@@ -540,12 +658,18 @@ def hamming_near_pairs(
     a = chunks.select(F.col("_id").alias("da"), F.col("_h").alias("ha"), "chunk_idx", "chunk")
     b = chunks.select(F.col("_id").alias("db"), F.col("_h").alias("hb"), "chunk_idx", "chunk")
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    # r6 (guide §2.3): the hamming verify is codegen bit_count — run it
+    # BEFORE dropDuplicates so the pair exchange only carries pairs
+    # within the radius (sf0.1: 13.2M joined rows → 0.63M survivors;
+    # the old order shuffled all 7.7M distinct candidate pairs first —
+    # 9.7 s → 2.3 s).  Filter and dedup commute: hamming is a pure
+    # function of the pair, so the surviving pair SET is identical.
     return (
         a.join(b, ["chunk_idx", "chunk"])
         .filter(F.col("da") < F.col("db"))
-        .dropDuplicates(["da", "db"])
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["da", "db"])
         .select(F.col("da").alias(out_a), F.col("db").alias(out_b), "hamming")
     )
 
@@ -561,21 +685,29 @@ def _positions_of_duplicated_grams(grams: DataFrame, min_occ: int) -> DataFrame:
     ≥ *min_occ* times corpus-wide.
 
     Skew-proof two-level shape (r4 verdict #4): a map-side-combined
-    ``groupBy(g).count()`` (partial aggregation bounds any one gram's
+    ``groupBy(gram).count()`` (partial aggregation bounds any one gram's
     reducer input by the MAP-TASK count, not its occurrence count)
     followed by a semi join back to the gram stream.  The join hashes
     a hot gram's positions to one partition too, but sort-merge join
     partitions are AQE-skew-SPLITTABLE (OptimizeSkewedJoin), which a
     ``count().over(partitionBy(g))`` window is not — under the window,
     a boilerplate gram with 10^8 occurrences at the 100 TB design
-    point was a single-task straggler by construction."""
+    point was a single-task straggler by construction.
+
+    r6 (guide §2.3 "narrower types"): *grams* arrives pre-hashed —
+    ``(doc_id, pos, gh)`` from ``curation.word_ngram_hash_stream`` —
+    so both exchanges key on an 8-byte integer instead of the ~50-byte
+    gram string.  Gram equality becomes hash equality (the 2^-64
+    collision the fingerprint ops in this repo already accept; the r5
+    verdict prescribed exactly this swap for the petabyte design
+    point)."""
     occ = (
-        grams.groupBy("g")
+        grams.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("occ"))
         .filter(F.col("occ") >= min_occ)
-        .select("g")
+        .select("gh")
     )
-    return grams.join(occ, "g", "left_semi").select("doc_id", "pos")
+    return grams.join(occ, "gh", "left_semi").select("doc_id", "pos")
 
 
 def duplicate_token_spans(
@@ -602,21 +734,24 @@ def duplicate_token_spans(
     Plan shape (100 TB): the suffix array of the paper is a
     single-machine construct; the distributed equivalent is bounded
     exchanges.  Stage 1 finds duplicated grams with a map-side-combined
-    ``groupBy(gram).count()`` + semi join back (skew-proof — see
-    :func:`_positions_of_duplicated_grams`; the gram string is the
-    key, so the count is exact, not hash-approximate; at petabyte
-    scale swap the key for ``xxhash64(g)`` and accept the 2^-64
-    collision).  Stage 2 re-partitions surviving positions BY DOC for
-    the island window — its volume is only the DUPLICATED windows, a
-    small fraction of the corpus in the non-pathological case.  No
-    driver state, no Python in the pipeline (pure Catalyst).
-    """
-    from tegenaria_spark.operators.curation import word_ngrams_col
+    ``groupBy(gram-hash).count()`` + semi join back (skew-proof — see
+    :func:`_positions_of_duplicated_grams`).  Stage 2 re-partitions
+    surviving positions BY DOC for the island window — its volume is
+    only the DUPLICATED windows, a small fraction of the corpus in the
+    non-pathological case.  No driver state.
 
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(word_ngrams_col(text_col, n)).alias("pos", "g"),
-    )
+    r6: the gram stream comes from the vectorized mapInArrow tokenizer
+    (``word_ngram_hash_stream`` — guide §4.2; the interpreted Catalyst
+    window builder was ~10 µs/window and dominated the query), hashed
+    to 8-byte keys, generated ONCE and pinned for the aggregate + probe
+    sides (a lazy stream would re-run the tokenizer per consumer).
+    """
+    from tegenaria_spark.operators.curation import word_ngram_hash_stream
+
+    grams = word_ngram_hash_stream(
+        docs, n, text_col=text_col, id_col=id_col, positional=True
+    ).withColumnRenamed(id_col, "doc_id")
+    grams = grams.localCheckpoint(eager=True)
     dup = _positions_of_duplicated_grams(grams, min_occ)
     isl = dup.withColumn(
         "grp",
@@ -655,12 +790,14 @@ def strip_duplicate_spans(
     quadratic only for a fully-duplicated doc, where the span stage
     already marks everything).
     """
-    from tegenaria_spark.operators.curation import word_ngrams_col
+    from tegenaria_spark.operators.curation import word_ngram_hash_stream
 
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(word_ngrams_col(text_col, n)).alias("pos", "g"),
-    )
+    # r6: hashed mapInArrow gram stream, generated once and pinned
+    # (guide §4.2/§2.3 — see duplicate_token_spans)
+    grams = word_ngram_hash_stream(
+        docs, n, text_col=text_col, id_col=id_col, positional=True
+    ).withColumnRenamed(id_col, "doc_id")
+    grams = grams.localCheckpoint(eager=True)
     covered = (
         _positions_of_duplicated_grams(grams, min_occ)
         .select(

@@ -77,45 +77,58 @@ def repetition_stats(
       - ``top_word_ppm``     share of the single most frequent word
       - ``dup_bigram_ppm``   1 − distinct/total word bigrams
 
-    Plan shape (100 TB): bigram stats are computed row-local with array
-    functions (zero shuffle); the word-mode needs a real aggregation —
-    one shuffle on (doc_id, word) then one on doc_id, both map-side
-    combined, then a doc_id equi-join back to the row-local stats.  No
-    Python anywhere.
+    Plan shape (100 TB): ONE map-only Arrow pass — every signal is a
+    per-document statistic, so no shuffle is fundamentally required
+    (guide §1.1).  r6: the old plan exploded the token stream through
+    two word-mode exchanges and built bigrams with an interpreted
+    Catalyst higher-order transform; a vectorized ``mapInArrow``
+    tokenizer (C-level split + one Counter pass per doc) computes all
+    five counters in a single pipeline stage with zero exchanges —
+    strictly better at every scale (map-only passes are embarrassingly
+    parallel).
     """
-    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
-    ws = F.filter(F.split(t, " "), lambda w: w != "")
-    # bigrams row-local: guard size<2 (Spark's sequence(1, 0) would
-    # DESCEND, yielding phantom windows)
-    bigrams = F.when(
-        F.size(ws) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: F.concat_ws(" ", F.slice(ws, i, F.lit(2))),
-        ),
-    ).otherwise(F.expr("cast(array() as array<string>)"))
+    import pyarrow as pa
+    import pandas as pd
 
-    row_local = docs.select(
-        F.col(id_col).alias("doc_id"),
-        ws.alias("_ws"),
-        bigrams.alias("_bg"),
-    ).select(
-        "doc_id",
-        F.size("_ws").alias("n_words"),
-        F.size("_bg").alias("_n_bg"),
-        F.size(F.array_distinct("_bg")).alias("_n_bg_distinct"),
+    def stats(batches):
+        from collections import Counter
+
+        for batch in batches:
+            pdf = batch.to_pandas()
+            n_words, n_bg, n_bg_d, n_distinct, top_cnt = [], [], [], [], []
+            for txt in pdf["_t"]:
+                ws = [w for w in (txt or "").lower().split(" ") if w]
+                wc = Counter(ws)
+                n_words.append(len(ws))
+                n_distinct.append(len(wc))
+                top_cnt.append(max(wc.values()) if wc else 0)
+                if len(ws) >= 2:
+                    bgs = {(ws[i], ws[i + 1]) for i in range(len(ws) - 1)}
+                    n_bg.append(len(ws) - 1)
+                    n_bg_d.append(len(bgs))
+                else:
+                    n_bg.append(0)
+                    n_bg_d.append(0)
+            yield pa.RecordBatch.from_pandas(
+                pd.DataFrame(
+                    {
+                        "doc_id": pdf["_id"],
+                        "n_words": pd.Series(n_words, dtype="int64"),
+                        "_n_bg": pd.Series(n_bg, dtype="int64"),
+                        "_n_bg_distinct": pd.Series(n_bg_d, dtype="int64"),
+                        "_n_distinct": pd.Series(n_distinct, dtype="int64"),
+                        "_top_cnt": pd.Series(top_cnt, dtype="int64"),
+                    }
+                )
+            )
+
+    j = docs.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_t")
+    ).mapInArrow(
+        stats,
+        "doc_id long, n_words long, _n_bg long, _n_bg_distinct long, "
+        "_n_distinct long, _top_cnt long",
     )
-    word_mode = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(ws).alias("w"))
-        .groupBy("doc_id", "w")
-        .count()
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("_n_distinct"),
-            F.max("count").alias("_top_cnt"),
-        )
-    )
-    j = row_local.join(word_mode, "doc_id", "left")
     # exact integer floor division (`div`, never float `/`): ppm values
     # must be bit-identical to the oracle's `//`
     return j.select(

@@ -569,9 +569,12 @@ class CrawlEngine:
             self._resolve_side(work)
             return work.parsed["buckets"]
 
-        def _metrics_fn(partial_counts: dict) -> DataFrame:
+        def _metrics_fn(partial_counts: dict):
             self._resolve_side(work)
-            return self.spark.createDataFrame(
+            # (rows, schema): the store writes this driver-built table
+            # with pyarrow directly — no Spark job (r6, store.py
+            # _write_local_parquet)
+            return (
                 round_metrics_rows(
                     work.parsed["counts"],
                     work.parsed["status"],

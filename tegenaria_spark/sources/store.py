@@ -146,6 +146,52 @@ class LocalSnapshotStore:
         return None if m is None else m.get("frontier_manifest")
 
     @staticmethod
+    def _write_local_parquet(rows: list[tuple], schema, path: str) -> int:
+        """Driver-local parquet write for TINY driver-built tables
+        (metrics, lineage — a handful of rows per round built from
+        collected counters).  r6 (guide §1.2 per-round constants): the
+        old path ran ``spark.createDataFrame(...).write.parquet`` — a
+        full Spark job (~0.5-1 s of scheduling latency) per table per
+        commit, pure non-scaling constant.  These tables are
+        driver-side METADATA by construction (like the commit marker
+        json), so a pyarrow write is the honest implementation at every
+        scale.  Types map 1:1 onto what Spark's writer would emit;
+        readers (``spark.read.parquet`` / ``read_log`` footer-merge)
+        see an identical table.  Returns the row count."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.types import (
+            BooleanType,
+            DoubleType,
+            IntegerType,
+            LongType,
+            StringType,
+        )
+
+        type_map = {
+            IntegerType: pa.int32(),
+            LongType: pa.int64(),
+            StringType: pa.string(),
+            BooleanType: pa.bool_(),
+            DoubleType: pa.float64(),
+        }
+        fields = [
+            pa.field(f.name, type_map[type(f.dataType)], f.nullable)
+            for f in schema.fields
+        ]
+        cols = {
+            f.name: [r[i] for r in rows] for i, f in enumerate(schema.fields)
+        }
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pydict(cols, schema=pa.schema(fields)),
+            os.path.join(path, "part-00000-driver.parquet"),
+        )
+        return len(rows)
+
+    @staticmethod
     def _scan_parts(path: str) -> list[tuple[str, int]]:
         """(file, num_rows) for every parquet part under *path* (recursive
         for partitioned layouts) — a pure footer/metadata read, zero
@@ -406,13 +452,27 @@ class LocalSnapshotStore:
             for _, table, _, _, n in lineage_rows:
                 partial_counts[table] = partial_counts.get(table, 0) + n
             for name, fn in deferred_logs.items():
-                write(fn(partial_counts), self._log_path(name, r), name)
+                out = fn(partial_counts)
+                path = self._log_path(name, r)
+                if isinstance(out, DataFrame):
+                    write(out, path, name)
+                else:
+                    # (rows, schema): driver-built tiny table — write
+                    # without a Spark job (see _write_local_parquet)
+                    import time as _time
+
+                    _t0 = _time.time()
+                    d_rows, d_schema = out
+                    n = self._write_local_parquet(d_rows, d_schema, path)
+                    write_times[name] = round(_time.time() - _t0, 2)
+                    lineage_rows.append((r, name, 0, snapshot_id, n))
                 logs = {**logs, name: None}  # marker["tables"] lists it
 
         lineage_rows.sort(key=lambda t: (t[1], t[2]))
 
-        lineage = self.spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA)
-        lineage.write.mode("overwrite").parquet(self._log_path("lineage", r))
+        self._write_local_parquet(
+            lineage_rows, LINEAGE_SCHEMA, self._log_path("lineage", r)
+        )
 
         if callable(stats):  # resolved late: may depend on side jobs that
             stats = stats()  # overlapped with the table writes above
