@@ -107,6 +107,19 @@ def tfidf_top_terms(
     )
 
 
+def spread_to_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin the rows over the session's default parallelism when
+    the input has fewer partitions (r6): a bench-scale parquet scan
+    yields 1-2 splits, which would run every downstream MAP stage
+    (Arrow tokenizers, explode+hash, partial aggregates) on 1-2 cores.
+    At the 100 TB design point the scan already has thousands of splits
+    and this is a no-op branch — the repartition never fires on data
+    that would make it expensive.  Row-level results are unaffected by
+    partitioning (only per-row functions follow it here)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par) if df.rdd.getNumPartitions() < par else df
+
+
 def word_ngram_hash_stream(
     docs: DataFrame,
     n: int,
@@ -178,8 +191,8 @@ def word_ngram_hash_stream(
             yield pa.RecordBatch.from_pandas(pd.DataFrame(out))
 
     schema = "_id long" + (", pos int" if positional else "") + ", g string"
-    stream = docs.select(
-        F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_t")
+    stream = spread_to_parallelism(
+        docs.select(F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_t"))
     ).mapInArrow(gen, schema)
     cols = [F.col("_id").alias(id_col)] + ([F.col("pos")] if positional else [])
     return stream.select(*cols, F.xxhash64("g").alias("gh"))

@@ -91,9 +91,12 @@ def word_jaccard_pairs(
     rare tokens) explodes the candidate join — this was 56% of the
     sf0.1 bench suite before the filters landed.
     """
+    from tegenaria_spark.operators.curation import spread_to_parallelism
+
     words = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
+        spread_to_parallelism(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+        .select(
+            "doc_id",
             F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
         )
         .filter(F.col("w") != "")
@@ -142,8 +145,10 @@ def ngram_jaccard_pairs(
                 pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"), "w": ws})
             )
 
-    toks = docs.select(
-        F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_t")
+    from tegenaria_spark.operators.curation import spread_to_parallelism
+
+    toks = spread_to_parallelism(
+        docs.select(F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_t"))
     ).mapInArrow(toks_gen, "doc_id long, w string")
     return _jaccard_pairs_ppjoin(toks, threshold_pct, bitset_max)
 
@@ -279,11 +284,11 @@ def _jaccard_pairs_bitset(
     order = Window.partitionBy("doc_id").orderBy(F.col("wid").asc())
     ranked = iwords.withColumn("_rn", F.row_number().over(order)).join(counts, "doc_id")
     prefix_len = F.col("n") - F.ceil(F.col("n") * threshold_pct / 100) + 1
-    # pinned: both self-join sides of _ppjoin_candidates read it
-    prefix = (
-        ranked.filter(F.col("_rn") <= prefix_len)
-        .select("doc_id", "wid", "n", "_rn")
-        .localCheckpoint(eager=True)
+    # NOT pinned: both self-join sides recompute the window from the
+    # iwords pin (~0.3 s each) — cheaper than another checkpoint
+    # barrier + its first-run codegen (measured)
+    prefix = ranked.filter(F.col("_rn") <= prefix_len).select(
+        "doc_id", "wid", "n", "_rn"
     )
     cands = _ppjoin_candidates(prefix, "wid", threshold_pct)
 
@@ -307,7 +312,7 @@ def _jaccard_pairs_bitset(
     # bitset_max = 4096 bounds the chain at 64 terms.
     lanes = masks.select(
         "doc_id", "n", *[F.col("m")[j].alias(f"l{j}") for j in range(n_lanes)]
-    ).localCheckpoint(eager=True)  # one row per doc; read by both join sides
+    )  # not pinned: both join sides recompute the tiny agg from iwords
     ma = lanes.select(
         F.col("doc_id").alias("da"),
         F.col("n").alias("na"),
@@ -421,10 +426,21 @@ def minhash_lsh_pairs(
     # 13-33 s at sf0.1, eager 11-15 s)
     sigs = sigs.localCheckpoint(eager=True)
 
+    # r6: the pinned signature table inherits the corpus SCAN's
+    # partitioning (1-2 parquet splits at bench scale), which would run
+    # the band join's 11M-row output and the partial distinct on 1-2
+    # cores — spread it to the session's parallelism first (a 5000-row
+    # repartition; at scale the scan already has enough splits and this
+    # is a no-op branch).  Measured: candidate stage 6.0 s → ~1.5 s.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if sigs.rdd.getNumPartitions() < par:
+        sigs_stream = sigs.repartition(par)
+    else:
+        sigs_stream = sigs
     # the band join carries ONLY (doc_id, band, bucket) — signatures are
     # fixed-width but 64×8B each; shipping them through the candidate
     # shuffle multiplies it by n_bands for nothing
-    bands = sigs.select(
+    bands = sigs_stream.select(
         "doc_id",
         F.explode(
             F.array(
@@ -573,9 +589,12 @@ def simhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     aggregates inside whole-stage codegen, and the hash assembles from
     the vote signs — zero Python in the hot path (the old pandas UDF
     hashed every token in pure Python)."""
+    from tegenaria_spark.operators.curation import spread_to_parallelism
+
     words = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
+        spread_to_parallelism(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+        .select(
+            "doc_id",
             F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
         )
         .filter(F.col("w") != "")

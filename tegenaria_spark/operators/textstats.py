@@ -122,8 +122,10 @@ def repetition_stats(
                 )
             )
 
-    j = docs.select(
-        F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_t")
+    from tegenaria_spark.operators.curation import spread_to_parallelism
+
+    j = spread_to_parallelism(
+        docs.select(F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_t"))
     ).mapInArrow(
         stats,
         "doc_id long, n_words long, _n_bg long, _n_bg_distinct long, "

@@ -34,7 +34,12 @@ def get_spark(
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode hosts the driver AND every executor thread in one
+        # JVM, plus each query's pinned localCheckpoint blocks — 8g put
+        # the 54-query suite under storage-eviction/GC pressure on a
+        # 128 GiB box (r6).  On a real cluster this knob sizes per-node
+        # executor heap instead; override with SPARK_GRAFT_DRIVER_MEM.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # VM entropy pools starve SecureRandom: every python-worker
